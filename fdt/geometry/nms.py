@@ -1,0 +1,120 @@
+"""Fixed-shape greedy NMS for TPU.
+
+The reference runs greedy NMS as a data-dependent Python loop over tensors
+(layers/box_utils.py:275-340, FACEBOX/encoderl.py:217-266, MTCNN/mtcnn/core/utils.py:62-113)
+— thousands of host↔device round-trips per image.  Here the same *greedy* result is
+computed entirely on device with static shapes:
+
+  1. take the top-`budget` boxes by score (padding with -inf scores),
+  2. build the pairwise suppression matrix S[j, i] = (j < i) ∧ (overlap(j, i) ≥ τ),
+  3. solve the greedy recurrence  keep[i] = valid[i] ∧ ¬∃j: S[j,i] ∧ keep[j]
+     by fixpoint iteration (lax.while_loop).  The recurrence is a DAG in score
+     order, so after k sweeps every box whose suppression-chain depth ≤ k is
+     final; real detection workloads converge in a handful of sweeps, each sweep
+     being one [N,N]·[N] masked reduction on the VPU instead of N sequential steps.
+
+This reproduces exactly the keep-set and order of the reference's greedy loops
+(which suppress when overlap >= threshold and keep survivors in descending-score
+order), for both IoU ("union") and min-area ("minimum") overlap modes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fdt.geometry.boxes import iou_matrix
+
+
+def _overlap_matrix(boxes: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Pairwise overlap, [N,4] → [N,N], point form.
+
+    mode="union"   : IoU (reference nms / nms_np "Union")
+    mode="minimum" : intersection / min(area_a, area_b) (MTCNN "Minimum",
+                     MTCNN/mtcnn/core/utils.py:100-104)
+    """
+    if mode == "union":
+        return iou_matrix(boxes, boxes)
+    if mode == "minimum":
+        max_xy = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+        min_xy = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+        wh = jnp.clip(max_xy - min_xy, 0.0)
+        inter = wh[..., 0] * wh[..., 1]
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        return inter / jnp.minimum(area[:, None], area[None, :])
+    raise ValueError(f"unknown NMS mode: {mode}")
+
+
+def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
+                  mode: str = "union") -> jnp.ndarray:
+    """Greedy-NMS keep mask over boxes already sorted by descending score.
+
+    Args:
+      boxes: [N,4] point-form boxes in descending-score order.
+      valid: [N] bool; padding / below-threshold entries are False.
+      iou_thresh: suppression threshold; overlap >= iou_thresh suppresses
+        (matches `IoU.lt(overlap)` survivors at layers/box_utils.py:339 and
+        `ovr < threshold` at encoderl.py:260).
+      mode: "union" | "minimum".
+
+    Returns: [N] bool keep mask (subset of `valid`).
+    """
+    n = boxes.shape[0]
+    ov = _overlap_matrix(boxes, mode)
+    idx = jnp.arange(n)
+    # S[j, i]: an earlier (higher-score) valid box j suppresses i.
+    suppress = (ov >= iou_thresh) & (idx[:, None] < idx[None, :]) & valid[:, None]
+
+    def cond(state):
+        keep, prev, it = state
+        return (it < n) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(suppress & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, ~keep0, jnp.int32(0)))
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "out_k", "mode"))
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
+               budget: int, out_k: int, mode: str = "union",
+               valid: jnp.ndarray | None = None):
+    """Greedy NMS with fixed-size output.
+
+    Args:
+      boxes:  [N,4] point-form.
+      scores: [N]; entries to ignore should carry -inf (or pass `valid`).
+      iou_thresh: suppression threshold (traced or static).
+      budget: static — number of top-score boxes entering NMS
+        (reference `nms_top_k`, layers/functions/detection.py:32).
+      out_k:  static — detections returned (reference `top_k`=750).
+      mode:   "union" | "minimum".
+      valid:  optional [N] bool mask.
+
+    Returns:
+      keep_idx: [out_k] int32 indices into the input arrays, in descending-score
+        order; entries past `count` are arbitrary (mask with count).
+      count:   scalar int32 number of kept boxes (≤ out_k).
+    """
+    n = scores.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, -jnp.inf)
+    k = min(budget, n)
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = boxes[order]
+    top_valid = top_scores > -jnp.inf
+    keep = nms_keep_mask(top_boxes, top_valid, iou_thresh, mode=mode)
+    # Stable-compact kept entries to the front (they are already score-ordered).
+    comp = jnp.argsort(~keep, stable=True)
+    count = jnp.minimum(jnp.sum(keep), out_k).astype(jnp.int32)
+    if out_k <= k:
+        keep_idx = order[comp[:out_k]]
+    else:
+        pad = jnp.zeros(out_k - k, dtype=order.dtype)
+        keep_idx = jnp.concatenate([order[comp], pad])
+    return keep_idx.astype(jnp.int32), count
