@@ -1,0 +1,90 @@
+"""Mechanical torch state-dict → flax variables conversion.
+
+Because every fdt model names its flax submodules after the reference's torch
+module paths (Sequential indices as '0'/'1', torch's '.' spelled '__'), a
+checkpoint converts by walking our own initialized variable tree and pulling
+each leaf from the state dict:
+
+  params/<mod>/kernel  (4D) ← <mod>.weight transposed (O,I,kH,kW) → (kH,kW,I,O)
+  params/<mod>/kernel  (2D) ← <mod>.weight transposed (O,I)       → (I,O)
+  params/<mod>/bias         ← <mod>.bias
+  params/<mod>/scale        ← <mod>.weight            (BatchNorm γ)
+  params/<mod>/negative_slope ← <mod>.weight          (PReLU)
+  batch_stats/<mod>/mean    ← <mod>.running_mean
+  batch_stats/<mod>/var     ← <mod>.running_var
+
+Reference load contract: pyramid.py:353-364 (`load_weights` partial state-dict
+load) — `strict=False` reproduces that filtered-update behavior.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a .pt/.pth state dict into numpy (torch CPU import kept local)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):  # pickled full module
+        sd = sd.state_dict()
+    return {k: v.detach().numpy() for k, v in sd.items()
+            if not k.endswith("num_batches_tracked")}
+
+
+_LEAF_TO_TORCH = {
+    "kernel": "weight",
+    "bias": "bias",
+    "scale": "weight",
+    "negative_slope": "weight",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+
+def _torch_key(path) -> str:
+    mods = [str(p.key if hasattr(p, "key") else p) for p in path[1:-1]]
+    leaf = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+    prefix = ".".join(mods).replace("__", ".")
+    suffix = _LEAF_TO_TORCH[leaf]
+    return f"{prefix}.{suffix}" if prefix else suffix
+
+
+def torch_to_flax(state_dict: Mapping[str, np.ndarray], variables,
+                  strict: bool = True, prefix: str = ""):
+    """Fill a flax variables pytree from a torch state dict.
+
+    Args:
+      state_dict: torch name → numpy array.
+      variables: flax variables as produced by Module.init (template for shapes).
+      strict: if True, raise on any missing key or shape mismatch; if False,
+        keep the template value for missing keys (reference partial-load
+        semantics, pyramid.py:359-361).
+      prefix: optional torch-side prefix to prepend (e.g. "module.").
+    """
+    missing: list[str] = []
+
+    def fill(path, leaf):
+        key = prefix + _torch_key(path)
+        if key not in state_dict:
+            missing.append(key)
+            return leaf
+        w = np.asarray(state_dict[key])
+        if w.ndim == 4:
+            w = w.transpose(2, 3, 1, 0)
+        elif w.ndim == 2:
+            w = w.T
+        if w.size == 1 and np.ndim(leaf) == 0:
+            w = w.reshape(())
+        if w.shape != np.shape(leaf):
+            raise ValueError(f"shape mismatch for {key}: torch {w.shape} vs flax "
+                             f"{np.shape(leaf)} at {jax.tree_util.keystr(path)}")
+        return w.astype(np.asarray(leaf).dtype)
+
+    out = jax.tree_util.tree_map_with_path(fill, variables)
+    if strict and missing:
+        raise KeyError(f"missing torch keys: {missing[:10]}"
+                       f"{' …' if len(missing) > 10 else ''}")
+    return out
