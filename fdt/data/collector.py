@@ -1,0 +1,28 @@
+"""Evaluation data iterator.
+
+Yields (BGR image, [N,4] int32 xywh target, 1-based img_id) at native resolution
+with no transform — the protocol of utils/data_collector.py:7-56.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from fdt.data.anno import parse_anno_file
+
+
+class EvalCollector:
+    def __init__(self, anno_file: str):
+        self.records = parse_anno_file(anno_file)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        import cv2
+        for i, rec in enumerate(self.records):
+            img = cv2.imread(rec.path)
+            if img is None:
+                raise FileNotFoundError(rec.path)
+            yield img, rec.boxes_xywh, i + 1
