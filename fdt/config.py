@@ -43,6 +43,10 @@ class DetectConfig:
     nms_thresh: float = 0.5
     nms_top_k: int = 5000      # boxes entering NMS
     variance: Tuple[float, float] = (0.1, 0.2)
+    # Reference quirk (detection.py:66-71): a class with exactly ONE candidate
+    # above conf_thresh yields a 0-d tensor and is skipped.  Reproduced by
+    # default for bit-faithful eval dumps; set False for the fixed behavior.
+    drop_single_candidate: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,8 @@ def ssd_detect(loc: jnp.ndarray, conf: jnp.ndarray, priors: jnp.ndarray,
         valid = scores_i > cfg.conf_thresh
         idx, count = nms_padded(boxes_i, scores_i, cfg.nms_thresh,
                                 budget=budget, out_k=cfg.top_k, valid=valid)
+        if cfg.drop_single_candidate:
+            count = jnp.where(jnp.sum(valid) == 1, 0, count)
         rows = jnp.concatenate([scores_i[idx][:, None], boxes_i[idx]], axis=-1)
         keep = (jnp.arange(cfg.top_k) < count)[:, None]
         return jnp.where(keep, rows, 0.0)

@@ -1,0 +1,105 @@
+"""End-to-end PyramidBox inference.
+
+Reference pipeline (My_test.py:22-72): per-image mean-subtract → forward →
+softmax → Detect (host Python NMS) → host walk of the [2,750,5] tensor.
+Here preprocess/forward/decode/NMS run as one jitted graph per input shape
+(shape-bucketed cache), and the final row walk is a vectorized host step that
+reproduces the reference's `while score >= threshold` semantics bit-for-bit —
+including its quirk of walking the all-zero class-0 rows when threshold <= 0.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdt.anchors import feature_map_sizes, pyramid_face_priors
+from fdt.config import (DetectConfig, PIXEL_MEAN_BGR, PYRAMID_CONFIGS,
+                        PyramidConfig)
+from fdt.infer.detect import ssd_detect
+
+
+def detections_to_rows(det: np.ndarray, threshold: float, scale,
+                       shrink: float = 1.0) -> np.ndarray:
+    """Walk a [C, top_k, 5] detection tensor like My_test.py:47-72.
+
+    For every class (including background class 0, whose rows are zeros) take
+    the PREFIX of rows with score >= threshold, scale boxes to pixels, divide
+    by `shrink`, and stack [x1, y1, x2, y2, score] rows.  Returns the
+    [[0, 0, 0, 0, 0.4]] sentinel when nothing qualifies (My_test.py:61-62).
+    """
+    rows = []
+    scale = np.asarray(scale, np.float32)
+    for cl in range(det.shape[0]):
+        s = det[cl, :, 0]
+        take = int(np.cumprod(s >= threshold).sum())
+        if take:
+            rows.append(np.column_stack([det[cl, :take, 1:5] * scale / shrink,
+                                         s[:take]]))
+    if not rows:
+        return np.array([[0, 0, 0, 0, 0.4]], np.float32)
+    return np.concatenate(rows, axis=0)
+
+
+class PyramidBoxDetector:
+    """Shape-bucketed jitted PyramidBox detector (any variant)."""
+
+    def __init__(self, variables, model, cfg: PyramidConfig | str = "repo",
+                 detect_cfg: DetectConfig | None = None,
+                 precision: str = "highest", budget: int = 5000):
+        if isinstance(cfg, str):
+            cfg = PYRAMID_CONFIGS[cfg]
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.detect_cfg = detect_cfg or cfg.detect
+        self.precision = precision
+        self.budget = budget
+        self._mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled(self, width: int, height: int, conf_thresh: float,
+                  nms_thresh: float):
+        shapes = feature_map_sizes(width, height, self.cfg.face_priors.strides)
+        priors = jnp.asarray(pyramid_face_priors(self.cfg, shapes, width, height))
+        dcfg = dataclasses.replace(self.detect_cfg, conf_thresh=conf_thresh,
+                                   nms_thresh=nms_thresh)
+
+        @jax.jit
+        def run(variables, images_u8):
+            x = images_u8.astype(jnp.float32) - self._mean
+            with jax.default_matmul_precision(self.precision):
+                out = self.model.apply(variables, x)
+            assert out["source_shapes"] == tuple(shapes), (
+                f"traced source shapes {out['source_shapes']} != predicted {shapes}")
+            conf = jax.nn.softmax(out["face_conf"], axis=-1)
+            return ssd_detect(out["face_loc"], conf, priors, dcfg, budget=self.budget)
+
+        return run
+
+    def detect_tensor(self, images_u8: np.ndarray, conf_thresh: float | None = None,
+                      nms_thresh: float | None = None) -> np.ndarray:
+        """[B,H,W,3] uint8 BGR → [B, 2, top_k, 5] detection tensor."""
+        b, h, w, _ = images_u8.shape
+        run = self._compiled(w, h,
+                             self.detect_cfg.conf_thresh if conf_thresh is None else conf_thresh,
+                             self.detect_cfg.nms_thresh if nms_thresh is None else nms_thresh)
+        return np.asarray(jax.device_get(run(self.variables, images_u8)))
+
+    def detect_face(self, image_bgr: np.ndarray, threshold: float,
+                    shrink: float = 1.0, nms_thresh: float = 0.35) -> np.ndarray:
+        """Single-image eval-protocol detection (My_test.py detect_face).
+
+        Returns [N,5] rows [x1, y1, x2, y2, score] in (pre-shrink) pixel coords.
+        """
+        if shrink != 1.0:
+            import cv2
+            image_bgr = cv2.resize(image_bgr, None, None, fx=shrink, fy=shrink,
+                                   interpolation=cv2.INTER_LINEAR)
+        h, w, _ = image_bgr.shape
+        det = self.detect_tensor(image_bgr[None], conf_thresh=threshold,
+                                 nms_thresh=nms_thresh)[0]
+        return detections_to_rows(det, threshold, [w, h, w, h], shrink)

@@ -31,6 +31,38 @@ def reference_root():
     return REFERENCE_ROOT
 
 
+def import_reference(module: str):
+    """Import a module from the reference repo with CPU/py3.12 compat stubs:
+    torchvision (absent from this image; only imported, barely used), time.clock
+    (removed in py3.8), and Tensor.cuda (no CUDA in the oracle environment)."""
+    import importlib
+    import time
+    import types
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not available")
+    torch = pytest.importorskip("torch")
+    time.clock = time.time
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tfm = types.ModuleType("torchvision.transforms")
+
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic).astype(np.float32) / 255.0
+                return torch.from_numpy(arr.transpose(2, 0, 1))
+
+        tfm.ToTensor = _ToTensor
+        tv.transforms = tfm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tfm
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        return importlib.import_module(module)
+    finally:
+        sys.path.pop(0)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
