@@ -1,0 +1,125 @@
+"""Benchmark: flagship detector throughput vs the CPU reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+
+Measures the full jitted PyramidBox-ResNet50 detection pipeline (preprocess →
+forward → decode → NMS → [B,2,750,5]) at 640², the reference's flagship eval
+config (My_test.py --net repo).  `vs_baseline` is the throughput ratio against
+the PyTorch reference running the same network on this host's CPU (the only
+hardware the reference can use in this environment); the reference publishes no
+numbers of its own (BASELINE.md).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
+# torch-CPU PyramidBox@640 forward on this image's single-core host, measured
+# via --measure-baseline; used when the reference repo is unavailable.
+FALLBACK_BASELINE_IPS = None
+
+
+def measure_ours(batch: int, iters: int, dtype: str) -> float:
+    import jax
+    import jax.numpy as jnp
+    from fdt.infer.pyramidbox import PyramidBoxDetector
+    from fdt.models.pyramidbox import PyramidBox
+
+    dt = {"bfloat16": jnp.bfloat16, "float32": None}[dtype]
+    model = PyramidBox(dtype=dt)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)))
+    det = PyramidBoxDetector(variables, model, "repo",
+                             precision="default" if dt is not None else "highest")
+    rng = np.random.RandomState(0)
+    images = (rng.rand(batch, 640, 640, 3) * 255).astype(np.uint8)
+    run = det._compiled(640, 640, 0.35, 0.35)
+    out = jax.block_until_ready(run(det.variables, images))  # compile + warmup
+    out = jax.block_until_ready(run(det.variables, images))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(det.variables, images)
+    jax.block_until_ready(out)
+    dt_s = time.perf_counter() - t0
+    return batch * iters / dt_s
+
+
+def measure_reference_cpu(iters: int = 2) -> float | None:
+    """PyTorch reference SFD forward+Detect on host CPU (single image)."""
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        return None
+    try:
+        import time as _time
+        import types
+        import torch
+        _time.clock = getattr(_time, "clock", _time.time)
+        time.clock = time.time
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv.transforms = types.ModuleType("torchvision.transforms")
+            tv.transforms.ToTensor = object
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tv.transforms
+        sys.path.insert(0, ref)
+        try:
+            from pyramid import build_sfd
+        finally:
+            sys.path.pop(0)
+        torch.manual_seed(0)
+        net = build_sfd("test", 640, 2)
+        net.eval()
+        x = torch.zeros(1, 3, 640, 640)
+        with torch.no_grad():
+            net(x)  # warmup / prior build
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                net.firstTime = True
+                net(x)
+            dt = time.perf_counter() - t0
+        return iters / dt
+    except Exception as e:  # pragma: no cover
+        print(f"# reference baseline failed: {e}", file=sys.stderr)
+        return None
+
+
+def get_baseline(refresh: bool = False) -> float | None:
+    if not refresh and os.path.exists(CACHE):
+        try:
+            return json.load(open(CACHE))["reference_cpu_images_per_sec"]
+        except Exception:
+            pass
+    ips = measure_reference_cpu()
+    if ips is None:
+        ips = FALLBACK_BASELINE_IPS
+    if ips is not None:
+        json.dump({"reference_cpu_images_per_sec": ips}, open(CACHE, "w"))
+    return ips
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+
+    baseline = get_baseline(refresh=args.measure_baseline)
+    ours = measure_ours(args.batch, args.iters, args.dtype)
+    vs = (ours / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "images/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from fdt.dist.mesh import make_mesh, batch_sharding, replicated, shard_batch
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

@@ -1,0 +1,44 @@
+"""Device mesh and sharding rules — the framework's communication backend.
+
+The reference is single-GPU with no distributed layer (SURVEY §2.9: DataParallel
+only as a comment, MyTrain_repo.py:71).  The TPU-native equivalent is data
+parallelism over a 1-D `jax.sharding.Mesh`:
+
+  * train/eval batches are sharded over the `data` axis,
+  * parameters/optimizer state are replicated,
+  * XLA inserts the gradient psum / metric all_gather collectives over ICI from
+    the sharding annotations — no hand-written NCCL-style calls.
+
+Multi-host deployments extend the same mesh across processes
+(`jax.distributed.initialize` + per-process data slicing over DCN); see
+fdt.data input pipelines.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Place a host batch on the mesh, sharded along axis 0."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,175 @@
+"""PyramidBox training: optimizer, train state, jitted DP train step.
+
+Replicates the MyTrain_repo.py/MyTrain_mobile.py loop semantics on TPU:
+  * torch-SGD with coupled weight decay and momentum buffer
+    (buf = m·buf + (g + wd·p); p -= lr·buf) — MyTrain_repo.py:104
+  * dual MultiBox loss, total = face_l + face_c + 0.5·(head_l + head_c)
+    (MyTrain_repo.py:170-173)
+  * xavier conv init / BN γ=1 β=0 (MyTrain_repo.py:79-96)
+  * loss-history arrays in the reference's 5-row layout (MyTrain_repo.py:201-202)
+
+The step is one jitted SPMD graph: batch sharded over the mesh `data` axis,
+params replicated, gradient psum inserted by XLA from sharding annotations.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from fdt.anchors import (feature_map_sizes, pyramid_face_priors,
+                         pyramid_head_priors)
+from fdt.config import PYRAMID_CONFIGS, PyramidConfig
+from fdt.train.multibox_loss import MultiBoxLossConfig, multibox_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def sgd_optimizer(momentum: float = 0.6, weight_decay: float = 1e-4):
+    """torch.optim.SGD-equivalent transform; lr is applied in the step."""
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.trace(decay=momentum))
+
+
+def xavier_init_variables(variables, rng):
+    """Xavier-uniform conv kernels, zero biases, BN γ=1 β=0 (MyTrain_repo.py:79-96)."""
+    rngs = {}
+
+    def init_leaf(path, leaf):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if path[0].key != "params":
+            return leaf
+        if name == "kernel" and leaf.ndim == 4:
+            kh, kw, i, o = leaf.shape
+            fan_in, fan_out = i * kh * kw, o * kh * kw
+            bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+            key = jax.random.fold_in(rng, hash(jax.tree_util.keystr(path)) % (2**31))
+            return jax.random.uniform(key, leaf.shape, leaf.dtype, -bound, bound)
+        if name == "bias":
+            return jnp.zeros_like(leaf)
+        if name == "scale":
+            return jnp.ones_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(init_leaf, variables)
+
+
+def pad_targets(targets: Sequence[np.ndarray], max_gt: int | None = None):
+    """List of per-image [n,5] arrays ([x1,y1,x2,y2,label], normalized) →
+    (gt_boxes [B,G,4] f32, gt_labels [B,G] i32, gt_valid [B,G] bool).
+
+    G is the smallest power of two ≥ the batch max (bucketed to bound the
+    number of jit specializations).
+    """
+    b = len(targets)
+    need = max(1, max(t.shape[0] for t in targets))
+    if max_gt is None:
+        max_gt = 1 << (need - 1).bit_length()
+    boxes = np.zeros((b, max_gt, 4), np.float32)
+    labels = np.zeros((b, max_gt), np.int32)
+    valid = np.zeros((b, max_gt), bool)
+    for i, t in enumerate(targets):
+        n = min(t.shape[0], max_gt)
+        boxes[i, :n] = t[:n, :4]
+        labels[i, :n] = t[:n, 4]
+        valid[i, :n] = True
+    return boxes, labels, valid
+
+
+class PyramidTrainer:
+    """Owns the jitted train step for a PyramidBox variant."""
+
+    def __init__(self, model, cfg: PyramidConfig | str = "repo",
+                 input_size: int = 640,
+                 loss_cfg: MultiBoxLossConfig = MultiBoxLossConfig(),
+                 head_weight: float = 0.5, momentum: float = 0.6,
+                 weight_decay: float = 1e-4, precision: str = "default"):
+        if isinstance(cfg, str):
+            cfg = PYRAMID_CONFIGS[cfg]
+        self.cfg = cfg
+        self.model = model
+        self.loss_cfg = loss_cfg
+        self.head_weight = head_weight
+        self.precision = precision
+        self.tx = sgd_optimizer(momentum, weight_decay)
+        shapes = feature_map_sizes(input_size, input_size, cfg.face_priors.strides)
+        self.priors_face = jnp.asarray(
+            pyramid_face_priors(cfg, shapes, input_size, input_size))
+        self.priors_head = jnp.asarray(
+            pyramid_head_priors(cfg, shapes, input_size, input_size))
+        self.input_size = input_size
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def init_state(self, rng, xavier: bool = True) -> TrainState:
+        variables = self.model.init(rng, jnp.zeros((1, self.input_size,
+                                                    self.input_size, 3)))
+        if xavier:
+            variables = xavier_init_variables(variables, rng)
+        params = variables["params"]
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=variables["batch_stats"],
+                          opt_state=self.tx.init(params))
+
+    def _losses(self, params, batch_stats, images, gt_boxes, gt_labels, gt_valid):
+        with jax.default_matmul_precision(self.precision):
+            out, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"])
+        l_l, l_c = multibox_loss(out["face_loc"], out["face_conf"],
+                                 self.priors_face, gt_boxes, gt_labels, gt_valid,
+                                 self.loss_cfg)
+        h_l, h_c = multibox_loss(out["head_loc"], out["head_conf"],
+                                 self.priors_head, gt_boxes, gt_labels, gt_valid,
+                                 self.loss_cfg)
+        loss = l_l + l_c + self.head_weight * (h_l + h_c)
+        return loss, (mutated["batch_stats"], (l_l, l_c, h_l, h_c))
+
+    def _train_step(self, state: TrainState, images, gt_boxes, gt_labels,
+                    gt_valid, lr):
+        grad_fn = jax.value_and_grad(self._losses, has_aux=True)
+        (loss, (batch_stats, parts)), grads = grad_fn(
+            state.params, state.batch_stats, images, gt_boxes, gt_labels, gt_valid)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats, opt_state=opt_state)
+        metrics = {"loss": loss, "face_loc": parts[0], "face_conf": parts[1],
+                   "head_loc": parts[2], "head_conf": parts[3]}
+        return new_state, metrics
+
+    def eval_loss(self, state: TrainState, images, gt_boxes, gt_labels, gt_valid):
+        """Validation loss (MyTrain_mobile.py:211-230 eval-during-train)."""
+        loss, _ = self._losses(state.params, state.batch_stats, images,
+                               gt_boxes, gt_labels, gt_valid)
+        return loss
+
+
+class LossHistory:
+    """5-row loss array matching the reference dump layout
+    (total / face_loc / face_conf / head_loc / head_conf), MyTrain_repo.py:201-202."""
+
+    def __init__(self, save_point: int):
+        self.buf = np.zeros((5, save_point + 1))
+        self.idx = 0
+
+    def append(self, metrics):
+        self.buf[:, self.idx] = [float(metrics["loss"]), float(metrics["face_loc"]),
+                                 float(metrics["face_conf"]), float(metrics["head_loc"]),
+                                 float(metrics["head_conf"])]
+        self.idx += 1
+
+    def save(self, path: str):
+        np.save(path, self.buf)
+        self.buf = np.zeros_like(self.buf)
+        self.idx = 0
