@@ -152,12 +152,14 @@ class PyramidBoxMobileV1(nn.Module):
         if d is not None:
             x = x.astype(d)
         t2 = self.variant == "try2"
-        M2 = MobileNetV2Block
+
+        def M2(*args, **kw):
+            return lambda name: MobileNetV2Block(*args, name=name, **kw)
 
         def seq(name, blocks):
             def run(h):
-                for i, blk in enumerate(blocks):
-                    h = blk.clone(name=f"{name}__{i}")(h, train)
+                for i, make in enumerate(blocks):
+                    h = make(f"{name}__{i}")(h, train)
                 return h
             return run
 
@@ -176,8 +178,8 @@ class PyramidBoxMobileV1(nn.Module):
                                    M2(1024, 2, 3, 1, 2, dilation=2, dtype=d)])(c3)
             c5 = seq("layer4_my", [M2(256, 2, 5, 2, 2, dtype=d),
                                    M2(2048, 2, 3, 1, 1, dtype=d)])(c4)
-            c6 = M2(512, 2, 3, 2, name="layer5_my", dtype=d)(c5, train)
-            c7 = M2(256, 2, 3, 2, name="layer6_my", dtype=d)(c6, train)
+            c6 = MobileNetV2Block(512, 2, 3, 2, name="layer5_my", dtype=d)(c5, train)
+            c7 = MobileNetV2Block(256, 2, 3, 2, name="layer6_my", dtype=d)(c6, train)
             smooth_bias = False
         else:       # try2 (t=4 default, adj expanders, pyramid_mobile_try2.py:163-193)
             c2 = seq("layer1_my", [M2(64, 4, side_way=True, dtype=d)] * 3)(c1)
@@ -194,8 +196,8 @@ class PyramidBoxMobileV1(nn.Module):
             c5 = seq("layer4_my", [M2(256, 4, 3, 2, dtype=d),
                                    M2(256, 4, side_way=True, dtype=d),
                                    M2(512, 4, dtype=d)])(c4)
-            c6 = M2(512, 4, 3, 2, use_bias=True, name="layer5_my", dtype=d)(c5, train)
-            c7 = M2(256, 4, 3, 2, use_bias=True, name="layer6_my", dtype=d)(c6, train)
+            c6 = MobileNetV2Block(512, 4, 3, 2, use_bias=True, name="layer5_my", dtype=d)(c5, train)
+            c7 = MobileNetV2Block(256, 4, 3, 2, use_bias=True, name="layer6_my", dtype=d)(c6, train)
             c2 = conv(256, 1, use_bias=False, name="layer1_adj", dtype=d)(c2)
             c3 = conv(512, 1, use_bias=False, name="layer2_adj", dtype=d)(c3)
             c4 = conv(1024, 1, use_bias=False, name="layer3_adj", dtype=d)(c4)
