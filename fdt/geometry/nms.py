@@ -23,8 +23,39 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fdt.geometry.boxes import iou_matrix
+
+
+def nms_numpy(boxes: np.ndarray, scores: np.ndarray, thresh: float,
+              mode: str = "union") -> list[int]:
+    """Host greedy NMS — exact reference semantics (MTCNN/mtcnn/core/utils.py:62-113,
+    FACEBOX/encoderl.py:217-266): descending-score order, suppress overlap >= thresh,
+    'union' (IoU) or 'minimum' (inter / min-area) overlap.  Used by host-side
+    cascade post-processing; the device path is nms_padded."""
+    boxes = np.asarray(boxes, np.float64)
+    scores = np.asarray(scores, np.float64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(0.0, xx2 - xx1) * np.maximum(0.0, yy2 - yy1)
+        if mode == "union":
+            ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        elif mode == "minimum":
+            ovr = inter / np.minimum(areas[i], areas[order[1:]])
+        else:
+            raise ValueError(f"unknown NMS mode: {mode}")
+        order = order[1:][ovr < thresh]
+    return keep
 
 
 def _overlap_matrix(boxes: jnp.ndarray, mode: str) -> jnp.ndarray:

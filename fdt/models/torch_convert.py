@@ -53,7 +53,7 @@ def _torch_key(path) -> str:
 
 
 def torch_to_flax(state_dict: Mapping[str, np.ndarray], variables,
-                  strict: bool = True, prefix: str = ""):
+                  strict: bool = True, prefix: str = "", transforms=None):
     """Fill a flax variables pytree from a torch state dict.
 
     Args:
@@ -63,8 +63,11 @@ def torch_to_flax(state_dict: Mapping[str, np.ndarray], variables,
         keep the template value for missing keys (reference partial-load
         semantics, pyramid.py:359-361).
       prefix: optional torch-side prefix to prepend (e.g. "module.").
+      transforms: optional {torch_key: fn} applied to the raw torch array
+        before the generic layout transpose (e.g. NCHW→NHWC flatten fixups).
     """
     missing: list[str] = []
+    transforms = transforms or {}
 
     def fill(path, leaf):
         key = prefix + _torch_key(path)
@@ -72,6 +75,8 @@ def torch_to_flax(state_dict: Mapping[str, np.ndarray], variables,
             missing.append(key)
             return leaf
         w = np.asarray(state_dict[key])
+        if key in transforms:
+            w = np.asarray(transforms[key](w))
         if w.ndim == 4:
             w = w.transpose(2, 3, 1, 0)
         elif w.ndim == 2:
