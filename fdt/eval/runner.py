@@ -1,0 +1,85 @@
+"""WIDER-FACE evaluation drivers for the three detector families.
+
+These are the My_test.py / FACEBOX/My_test_facebox.py / MTCNN/My_test_mtcnn.py
+loops as library functions: iterate the eval collector, detect per image,
+accumulate TF/confidence pairs, and write the reference-layout
+`data_of_<name>.npy` dump.  An optional annotated-image writer replaces the
+interactive cv2.imshow display (headless environments).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from fdt.data.collector import EvalCollector
+from fdt.eval.pr import TfConfAccumulator
+
+
+def _draw(image, target_xywh, predict, out_path):  # pragma: no cover
+    import cv2
+    img = image.copy()
+    for box in target_xywh:
+        cv2.rectangle(img, (box[0], box[1]),
+                      (box[0] + box[2], box[1] + box[3]), (0, 255, 0), 1)
+    for box in predict:
+        score = box[4]
+        b = box[:4].astype(np.int32)
+        cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (0, 0, 255), 1)
+        cv2.putText(img, f"{score:.3f}", (b[0], b[1] - 2),
+                    cv2.FONT_HERSHEY_PLAIN, 0.7, (0, 0, 255), 1)
+    cv2.imwrite(out_path, img)
+
+
+def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
+         skip_ids: Sequence[int] = (), display_dir: str | None = None,
+         progress: bool = True, limit: int | None = None) -> np.ndarray:
+    acc = TfConfAccumulator(iou_thresh)
+    dataset = EvalCollector(anno_file)
+    for image, target, img_id in dataset:
+        if img_id in skip_ids:
+            continue
+        if limit is not None and img_id > limit:
+            break
+        if progress:
+            print(f"testing image {img_id}...")
+        predict = detect_fn(image)
+        if display_dir:
+            _draw(image, target, predict,
+                  os.path.join(display_dir, f"{img_id}.jpg"))
+        acc.add(predict, target)
+    dump = acc.finalize()
+    if dump_path:
+        os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+        np.save(dump_path, dump)
+    return dump
+
+
+def eval_pyramidbox(detector, anno_file: str, threshold: float,
+                    dump_path: str = "", **kw) -> np.ndarray:
+    """My_test.py protocol: per-image native-resolution detection; rows are the
+    prefix-walk of the [2,750,5] tensor (incl. sentinel), NMS 0.35."""
+    def detect(image):
+        return detector.detect_face(image, threshold)
+    return _run(detect, anno_file, dump_path, **kw)
+
+
+def eval_facebox(detector, anno_file: str, dump_path: str = "", **kw) -> np.ndarray:
+    """FACEBOX/My_test_facebox.py protocol: 1024² resize, decode_np thresholds,
+    boxes scaled back to the native resolution; empty prediction allowed."""
+    def detect(image):
+        boxes, probs = detector.detect(image)
+        if len(probs) == 0:
+            return np.empty((0, 5))
+        return np.column_stack([boxes, probs])
+    return _run(detect, anno_file, dump_path, **kw)
+
+
+def eval_mtcnn(detector, anno_file: str, dump_path: str = "",
+               skip_ids: Sequence[int] = (2852,), **kw) -> np.ndarray:
+    """MTCNN/My_test_mtcnn.py protocol (min_face 24 detector, image 2852 skipped)."""
+    def detect(image):
+        boxes, _ = detector.detect_face(image)
+        return boxes if boxes.size else np.empty((0, 5))
+    return _run(detect, anno_file, dump_path, skip_ids=skip_ids, **kw)

@@ -1,0 +1,98 @@
+"""End-to-end PyramidBox training driver.
+
+Library equivalent of the MyTrain_repo.py / MyTrain_mobile.py CLI loops:
+epoch-shuffled augmented batches, step-decayed SGD, loss-history dumps in the
+reference 5-row layout, periodic eval-over-val-batches, step-suffixed orbax
+checkpoints, optional backbone-freeze window.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+from fdt.data.widerface import WiderFaceDataset
+from fdt.train.checkpoint import save_checkpoint
+from fdt.train.loops import LossHistory, PyramidTrainer, pad_targets
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """MyTrain_repo.py:28-46 argparse defaults."""
+    batch_size: int = 7
+    lr: float = 2e-5
+    total_iters: int = 120_000
+    save_point: int = 3000
+    step_values: Sequence[int] = (120_000, 300_000, 100_000)
+    gamma: float = 0.5
+    eval_freq: int = 0           # 0 disables (MyTrain_mobile uses 500)
+    eval_batches: int = 50
+    train_pretrain: int = 0      # freeze backbone before this iter (mobile)
+    max_gt: int | None = None    # GT pad bucket override
+    start_iter: int = 0
+    name: str = "Res50_pyramid"
+    save_folder: str = "weights_of_mine/"
+
+
+def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
+                         cfg: TrainConfig, val_anno: str | None = None,
+                         log: Callable[[str], None] = print):
+    """Returns the final TrainState; checkpoints + loss .npy on save points."""
+    dataset = WiderFaceDataset(train_anno, size=trainer.input_size)
+    val_dataset = (WiderFaceDataset(val_anno, size=trainer.input_size)
+                   if val_anno else None)
+    history = LossHistory(cfg.save_point)
+    eval_losses: list[float] = []
+
+    step_index = 0
+    lr = cfg.lr
+    batches = iter(())
+    for iteration in range(cfg.start_iter + 1, cfg.total_iters + 1):
+        t0 = time.time()
+        try:
+            images, targets = next(batches)
+        except StopIteration:
+            batches = dataset.batches(cfg.batch_size)
+            images, targets = next(batches)
+        if iteration in cfg.step_values:
+            step_index += 1
+            lr = cfg.lr * (cfg.gamma ** step_index)
+            log(f"adjusting lr to {lr}")
+
+        gt_boxes, gt_labels, gt_valid = pad_targets(targets, cfg.max_gt)
+        state, metrics = trainer.train_step(
+            state, images, gt_boxes, gt_labels, gt_valid, lr,
+            freeze=iteration < cfg.train_pretrain)
+        history.append(metrics)
+
+        if iteration % 20 == 0:
+            log(f"iter {iteration} || loss {float(metrics['loss']):.4f} || "
+                f"loc {float(metrics['face_loc']):.4f} conf {float(metrics['face_conf']):.4f} || "
+                f"lr {lr} || {time.time() - t0:.2f}s")
+
+        if cfg.eval_freq and (iteration % cfg.eval_freq == 0 or iteration == 1) \
+                and val_dataset is not None:
+            loss_val, n = 0.0, 0
+            for img_e, tgt_e in val_dataset.batches(cfg.batch_size):
+                n += 1
+                gb, gl, gv = pad_targets(tgt_e, cfg.max_gt)
+                loss_val += float(trainer.eval_loss(state, img_e, gb, gl, gv))
+                if n > cfg.eval_batches:
+                    break
+            eval_losses.append(loss_val / max(n, 1))
+            log(f"eval loss = {eval_losses[-1]:.5f}")
+
+        if iteration % cfg.save_point == 0:
+            path = save_checkpoint(state, cfg.save_folder, cfg.name, iteration)
+            history.save(f"{cfg.save_folder}/{cfg.name}_loss_{iteration}.npy")
+            if eval_losses:
+                np.save(f"{cfg.save_folder}/{cfg.name}_eval_loss_{iteration}.npy",
+                        np.array(eval_losses))
+                eval_losses = []
+            log(f"saved {path}")
+
+    save_checkpoint(state, cfg.save_folder, cfg.name, cfg.total_iters)
+    return state

@@ -94,7 +94,8 @@ class PyramidTrainer:
                  input_size: int = 640,
                  loss_cfg: MultiBoxLossConfig = MultiBoxLossConfig(),
                  head_weight: float = 0.5, momentum: float = 0.6,
-                 weight_decay: float = 1e-4, precision: str = "default"):
+                 weight_decay: float = 1e-4, precision: str = "default",
+                 freeze_predicate=None):
         if isinstance(cfg, str):
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
@@ -102,6 +103,9 @@ class PyramidTrainer:
         self.loss_cfg = loss_cfg
         self.head_weight = head_weight
         self.precision = precision
+        # backbone-freeze window (zero_grad_pretrained_layer,
+        # MyTrain_mobile.py:185-186): predicate over '/'-joined param paths
+        self.freeze_predicate = freeze_predicate
         self.tx = sgd_optimizer(momentum, weight_decay)
         shapes = feature_map_sizes(input_size, input_size, cfg.face_priors.strides)
         self.priors_face = jnp.asarray(
@@ -109,7 +113,8 @@ class PyramidTrainer:
         self.priors_head = jnp.asarray(
             pyramid_head_priors(cfg, shapes, input_size, input_size))
         self.input_size = input_size
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0,),
+                                  static_argnames=("freeze",))
 
     def init_state(self, rng, xavier: bool = True) -> TrainState:
         variables = self.model.init(rng, jnp.zeros((1, self.input_size,
@@ -136,10 +141,14 @@ class PyramidTrainer:
         return loss, (mutated["batch_stats"], (l_l, l_c, h_l, h_c))
 
     def _train_step(self, state: TrainState, images, gt_boxes, gt_labels,
-                    gt_valid, lr):
+                    gt_valid, lr, freeze: bool = False):
         grad_fn = jax.value_and_grad(self._losses, has_aux=True)
         (loss, (batch_stats, parts)), grads = grad_fn(
             state.params, state.batch_stats, images, gt_boxes, gt_labels, gt_valid)
+        if self.freeze_predicate is not None and freeze:
+            grads = jax.tree_util.tree_map_with_path(
+                lambda p, g: jnp.zeros_like(g)
+                if self.freeze_predicate(jax.tree_util.keystr(p)) else g, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,

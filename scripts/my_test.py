@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""PyramidBox WIDER-FACE val evaluation (reference My_test.py CLI).
+
+Example:
+  python scripts/my_test.py --net repo --weights net_weight/Res50_pyramid.pth \
+      --anno image_and_anno/anno/gen_anno_file_val --threshold 0
+Writes draw_curve/data/data_of_<net>.npy in the reference dump layout.
+"""
+import argparse
+
+from fdt.eval.runner import eval_pyramidbox
+from fdt.models.loader import load_pyramidbox_detector
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", default="repo",
+                    choices=["repo", "try1", "try2", "try3", "try4", "try5"])
+    ap.add_argument("--weights", default=None, help=".pth / orbax checkpoint")
+    ap.add_argument("--threshold", default=0.0, type=float)
+    ap.add_argument("--anno", default="./image_and_anno/anno/gen_anno_file_val")
+    ap.add_argument("--data_save_folder", default="./draw_curve/data/")
+    ap.add_argument("--display_dir", default=None,
+                    help="write annotated images here instead of cv2.imshow")
+    ap.add_argument("--limit", default=None, type=int)
+    args = ap.parse_args()
+
+    det = load_pyramidbox_detector(args.net, args.weights)
+    dump = eval_pyramidbox(det, args.anno, args.threshold,
+                           dump_path=f"{args.data_save_folder}/data_of_{args.net}.npy",
+                           display_dir=args.display_dir, limit=args.limit)
+    from fdt.eval.pr import average_precision
+    print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
+          f"AP: {average_precision(dump):.4f}")
+
+
+if __name__ == "__main__":
+    main()

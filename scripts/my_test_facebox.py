@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""FaceBoxes WIDER-FACE val evaluation (reference FACEBOX/My_test_facebox.py CLI)."""
+import argparse
+
+from fdt.eval.runner import eval_facebox
+from fdt.models.loader import load_facebox_detector
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default="/root/reference/FACEBOX/faceboxes.pt")
+    ap.add_argument("--anno", default="./image_and_anno/anno/gen_anno_file_val")
+    ap.add_argument("--data_save_folder", default="./draw_curve/data/")
+    ap.add_argument("--limit", default=None, type=int)
+    args = ap.parse_args()
+
+    det = load_facebox_detector(args.weights)
+    dump = eval_facebox(det, args.anno,
+                        dump_path=f"{args.data_save_folder}/data_of_facebox.npy",
+                        limit=args.limit)
+    from fdt.eval.pr import average_precision
+    print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
+          f"AP: {average_precision(dump):.4f}")
+
+
+if __name__ == "__main__":
+    main()

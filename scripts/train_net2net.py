@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Net2net distillation (reference train_net2net/Train_net2net_linux.py CLI)."""
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from fdt.data.widerface import WiderFaceDataset
+from fdt.models.loader import load_variables
+from fdt.models.pyramidbox_mobile import build_pyramidbox
+from fdt.train.checkpoint import save_checkpoint
+from fdt.train.net2net import Net2NetTrainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", default="intermedia",
+                    choices=["intermedia", "source", "overall"])
+    ap.add_argument("--student", default="try1", choices=["try1", "try2"])
+    ap.add_argument("--teacher_weights", default="./net_weight/Res50_pyramid.pth")
+    ap.add_argument("--batch_size", default=8, type=int)
+    ap.add_argument("--lr", default=1e-3, type=float)
+    ap.add_argument("--iter", default=500000, type=int)
+    ap.add_argument("--save_point", default=2000, type=int)
+    ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
+    ap.add_argument("--save_folder", default="weights_of_mine/")
+    args = ap.parse_args()
+
+    teacher = build_pyramidbox("repo")
+    student = build_pyramidbox(args.student)
+    trainer = Net2NetTrainer(student, teacher, args.train)
+    teacher_vars = load_variables(teacher.clone(return_features=True),
+                                  args.teacher_weights, 640)
+    state = trainer.init_state(jax.random.PRNGKey(0), teacher_vars)
+
+    dataset = WiderFaceDataset(args.annoPath, size=640)
+    loss_save = np.zeros(args.save_point + 1)
+    idx = 0
+    it = 0
+    while it < args.iter:
+        for images, _ in dataset.batches(args.batch_size):
+            it += 1
+            t0 = time.time()
+            state, metrics = trainer.train_step(state, images, args.lr)
+            loss_save[idx] = float(metrics["loss"])
+            idx += 1
+            if it % 20 == 0:
+                print(f"iter {it} || loss {float(metrics['loss']):.4f} "
+                      f"|| parts {np.asarray(metrics['parts']).round(4)} "
+                      f"|| {time.time() - t0:.2f}s")
+            if it % args.save_point == 0:
+                save_checkpoint(state, args.save_folder,
+                                f"{args.train}_net", it)
+                np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
+                loss_save = np.zeros(args.save_point + 1)
+                idx = 0
+            if it >= args.iter:
+                break
+    save_checkpoint(state, args.save_folder, f"{args.train}_net_final", it)
+
+
+if __name__ == "__main__":
+    main()

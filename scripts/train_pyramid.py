@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Train PyramidBox (reference MyTrain_repo.py / MyTrain_mobile.py CLI).
+
+Examples:
+  python scripts/train_pyramid.py --net repo --batch_size 7 --lr 2e-5
+  python scripts/train_pyramid.py --net try3 --batch_size 16 --lr 1e-4 \
+      --momentum 0.3 --eval_freq 500 --train_pretrain 5000
+"""
+import argparse
+
+import jax
+
+from fdt.models.loader import load_variables
+from fdt.models.pyramidbox_mobile import build_pyramidbox
+from fdt.train.driver import TrainConfig, run_pyramid_training
+from fdt.train.loops import PyramidTrainer, TrainState
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", default="repo",
+                    choices=["repo", "try1", "try2", "try3", "try4", "try5"])
+    ap.add_argument("--batch_size", default=7, type=int)
+    ap.add_argument("--lr", default=2e-5, type=float)
+    ap.add_argument("--momentum", default=0.6, type=float)
+    ap.add_argument("--iter", default=120000, type=int)
+    ap.add_argument("--save_point", default=3000, type=int)
+    ap.add_argument("--start_iter", default=0, type=int)
+    ap.add_argument("--resume", default=None, help=".pth or orbax checkpoint")
+    ap.add_argument("--eval_freq", default=0, type=int)
+    ap.add_argument("--train_pretrain", default=0, type=int,
+                    help="freeze backbone before this iter (mobile nets)")
+    ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
+    ap.add_argument("--evalAnnoPath", default="./image_and_anno/anno/gen_anno_file_val")
+    ap.add_argument("--save_folder", default="weights_of_mine/")
+    args = ap.parse_args()
+
+    model = build_pyramidbox(args.net)
+    freeze = (lambda p: "features" in p) if args.net in ("try3", "try4", "try5") else None
+    trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
+                             freeze_predicate=freeze)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    if args.resume:
+        variables = load_variables(model, args.resume, trainer.input_size)
+        if isinstance(variables, TrainState):
+            state = variables
+        else:
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+
+    cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                      total_iters=args.iter, save_point=args.save_point,
+                      eval_freq=args.eval_freq, train_pretrain=args.train_pretrain,
+                      start_iter=args.start_iter, save_folder=args.save_folder,
+                      name=f"{args.net}_pyramid")
+    run_pyramid_training(trainer, state, args.annoPath, cfg,
+                         val_anno=args.evalAnnoPath if args.eval_freq else None)
+
+
+if __name__ == "__main__":
+    main()

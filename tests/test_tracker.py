@@ -1,0 +1,90 @@
+"""IoU tracker semantics tests — including the reference's faithful quirks."""
+import numpy as np
+
+from fdt.config import TrackerConfig
+from fdt.track import IoUTracker, track_detections, save_tracks, load_tracks
+
+
+def det(x1, y1, x2, y2, s):
+    return [x1, y1, x2, y2, s]
+
+
+CFG = TrackerConfig(sigma_iou=0.4, sigma_h=0.6, t_min=2)
+
+
+def test_basic_track_lifecycle(tmp_path):
+    frames = [np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(1, 0, 11, 10, 0.95)]),
+              np.array([det(2, 0, 12, 10, 0.7)]),
+              np.array([det(100, 100, 110, 110, 0.8)]),  # no overlap → new track
+              ]
+    tracks = track_detections(frames, CFG)
+    # first track: 3 boxes, finished at flush (len 3 >= t_min 2, score .95 > .6)
+    assert len(tracks) == 1
+    t = tracks[0]
+    assert t["start_frame"] == 1
+    assert len(t["bboxes"]) == 3
+    assert t["max_score"] == 0.95
+    # round-trip through the reference .npy format
+    p = tmp_path / "tracks.npy"
+    save_tracks(tracks, str(p))
+    loaded = load_tracks(str(p))
+    assert loaded[0]["start_frame"] == 1
+
+
+def test_unmatched_track_finishes_in_loop():
+    # active track diverges while other detections exist → finished mid-stream
+    frames = [np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(500, 500, 510, 510, 0.1)]),  # far away det present
+              ]
+    tracks = track_detections(frames, CFG)
+    assert len(tracks) == 1
+    assert len(tracks[0]["bboxes"]) == 3
+
+
+def test_empty_frame_silently_drops_tracks():
+    # reference quirk (iouTracke_cal.py:130): zero-detection frame loses tracks
+    frames = [np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(0, 0, 10, 10, 0.9)]),
+              np.empty((0, 5)),                        # drops the track silently
+              np.array([det(0, 0, 10, 10, 0.9)]),      # new track starts
+              ]
+    tracks = track_detections(frames, CFG)
+    assert len(tracks) == 0  # old track lost, new one too short... but:
+    # new track has len 1 < t_min → not finished; old dropped silently.
+
+
+def test_strict_inequality_thresholds():
+    # in-loop finish requires len > t_min; flush requires len >= t_min
+    cfg = TrackerConfig(sigma_iou=0.4, sigma_h=0.6, t_min=3)
+    # exactly 3 boxes then flush → kept (>=)
+    frames = [np.array([det(0, 0, 10, 10, 0.9)])] * 3
+    assert len(track_detections(frames, cfg)) == 1
+    # exactly 3 boxes then unmatched while dets exist → dropped (>)
+    frames = [np.array([det(0, 0, 10, 10, 0.9)])] * 3 + \
+             [np.array([det(500, 500, 510, 510, 0.1)])]
+    tracks = track_detections(frames, cfg)
+    assert all(t["start_frame"] != 1 or len(t["bboxes"]) != 3 for t in tracks)
+
+
+def test_greedy_order_and_det_removal():
+    # two tracks, two dets: first track takes the best det, second gets the rest
+    frames = [np.array([det(0, 0, 10, 10, 0.9), det(20, 0, 30, 10, 0.8)]),
+              np.array([det(1, 0, 11, 10, 0.5), det(21, 0, 31, 10, 0.5)]),
+              np.array([det(2, 0, 12, 10, 0.5), det(22, 0, 32, 10, 0.5)])]
+    tracks = track_detections(frames, CFG)
+    assert len(tracks) == 2
+    assert [len(t["bboxes"]) for t in tracks] == [3, 3]
+
+
+def test_distance_mode():
+    cfg = TrackerConfig(use_iou=False, sigma_dis=8.0, sigma_h=0.6, t_min=2)
+    frames = [np.array([det(0, 0, 10, 10, 0.9)]),
+              np.array([det(3, 0, 13, 10, 0.9)]),
+              np.array([det(6, 0, 16, 10, 0.9)])]
+    tracks = track_detections(frames, cfg)
+    assert len(tracks) == 1
+    assert len(tracks[0]["bboxes"]) == 3
