@@ -131,6 +131,23 @@ def _upsample_bilinear_x2(x):
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
 
 
+class L2Norm(nn.Module):
+    """Channelwise L2 normalization with a learnable scale.
+
+    Reference: layers/modules/l2norm.py:7-24 (exported by the reference's layer
+    package; not wired into the active models, provided for parity).
+    """
+    scale_init: float = 20.0
+    eps: float = 1e-10
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", lambda key, shape:
+                            jnp.full(shape, self.scale_init), (x.shape[-1],))
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + self.eps
+        return weight * x / norm
+
+
 def max_in_out_conf(tmp_conf: jnp.ndarray, first_source: bool) -> jnp.ndarray:
     """PyramidBox max-in-out confidence (pyramid.py:291-305).
 
