@@ -1,0 +1,80 @@
+"""Training driver integration tests on a tiny synthetic dataset (light models)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdt.train.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                  save_checkpoint)
+from fdt.train.loops import PyramidTrainer, pad_targets, xavier_init_variables
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer():
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    model = build_pyramidbox("try3")
+    trainer = PyramidTrainer(model, "try3", input_size=128,
+                             freeze_predicate=lambda p: "features" in p)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return trainer, state
+
+
+def make_batch(rng, b=2, size=128):
+    images = (rng.rand(b, size, size, 3) * 255).astype(np.float32)
+    targets = [np.array([[0.1, 0.1, 0.5, 0.5, 0.0]], np.float32)] * b
+    return (images,) + pad_targets(targets, max_gt=4)
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss(tiny_trainer, rng):
+    trainer, state = tiny_trainer
+    batch = make_batch(rng)
+    losses = []
+    for _ in range(4):
+        state, m = trainer.train_step(state, *batch, 1e-3)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_freeze_keeps_backbone_fixed(tiny_trainer, rng):
+    trainer, state = tiny_trainer
+    batch = make_batch(rng)
+    bb_key = next(k for k in state.params if k.startswith("features"))
+    before = np.asarray(jax.tree.leaves(state.params[bb_key])[0]).copy()
+    state2, _ = trainer.train_step(state, *batch, 1e-2, freeze=True)
+    after = np.asarray(jax.tree.leaves(state2.params[bb_key])[0])
+    np.testing.assert_array_equal(before, after)
+    # heads did move
+    head_before = np.asarray(jax.tree.leaves(state.params["face_loc__0"])[0])
+    head_after = np.asarray(jax.tree.leaves(state2.params["face_loc__0"])[0])
+    assert np.abs(head_after - head_before).max() > 0
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tiny_trainer, tmp_path, rng):
+    trainer, state = tiny_trainer
+    batch = make_batch(rng)
+    state, _ = trainer.train_step(state, *batch, 1e-3)
+    path = save_checkpoint(state, str(tmp_path), "try3_pyramid", 7)
+    assert latest_checkpoint(str(tmp_path), "try3_pyramid") == path
+    restored = restore_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored["params"]
+                    if isinstance(restored, dict) else restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_xavier_init_statistics():
+    variables = {"params": {"conv": {"kernel": np.ones((3, 3, 16, 32), np.float32),
+                                     "bias": np.ones(32, np.float32)},
+                            "bn": {"scale": np.zeros(8, np.float32),
+                                   "bias": np.ones(8, np.float32)}}}
+    out = xavier_init_variables(variables, jax.random.PRNGKey(0))
+    k = np.asarray(out["params"]["conv"]["kernel"])
+    bound = np.sqrt(6.0 / (16 * 9 + 32 * 9))
+    assert k.min() >= -bound and k.max() <= bound
+    assert abs(k.mean()) < bound / 10
+    np.testing.assert_array_equal(np.asarray(out["params"]["conv"]["bias"]), 0)
+    np.testing.assert_array_equal(np.asarray(out["params"]["bn"]["scale"]), 1)
+    np.testing.assert_array_equal(np.asarray(out["params"]["bn"]["bias"]), 0)
