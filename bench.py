@@ -24,20 +24,21 @@ CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
 FALLBACK_BASELINE_IPS = None
 
 
-def measure_ours(batch: int, iters: int, dtype: str, budget: int) -> float:
+def measure_ours(batch: int, iters: int, dtype: str, budget: int,
+                 variant: str = "repo", size: int = 640) -> float:
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector
-    from fdt.models.pyramidbox import PyramidBox
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
 
     dt = {"bfloat16": jnp.bfloat16, "float32": None}[dtype]
-    model = PyramidBox(dtype=dt)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)))
-    det = PyramidBoxDetector(variables, model, "repo", budget=budget,
+    model = build_pyramidbox(variant, dtype=dt)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    det = PyramidBoxDetector(variables, model, variant, budget=budget,
                              precision="default" if dt is not None else "highest")
     rng = np.random.RandomState(0)
-    images = (rng.rand(batch, 640, 640, 3) * 255).astype(np.uint8)
-    run = det._compiled(640, 640, 0.35, 0.35)
+    images = (rng.rand(batch, size, size, 3) * 255).astype(np.uint8)
+    run = det._compiled(size, size, 0.35, 0.35)
 
     # Time the device-resident pipeline with an in-graph checksum: this test
     # environment reaches the TPU through a slow tunnel, so fetching the
@@ -128,14 +129,23 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--budget", type=int, default=1024,
                     help="NMS candidate budget (5000 = reference nms_top_k)")
+    ap.add_argument("--variant", default="repo",
+                    choices=["repo", "try1", "try2", "try3", "try4", "try5"])
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
 
     baseline = get_baseline(refresh=args.measure_baseline)
-    ours = measure_ours(args.batch, args.iters, args.dtype, args.budget)
+    ours = measure_ours(args.batch, args.iters, args.dtype, args.budget,
+                        variant=args.variant)
+    # vs_baseline is the torch-CPU reference running the SAME flagship config;
+    # for non-flagship variants it is still reported against that flagship CPU
+    # number (the reference publishes nothing else, BASELINE.md)
     vs = (ours / baseline) if baseline else None
+    names = {"repo": "pyramidbox_res50_640_detect_images_per_sec_per_chip"}
+    metric = names.get(args.variant,
+                       f"pyramidbox_{args.variant}_640_detect_images_per_sec_per_chip")
     print(json.dumps({
-        "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(ours, 2),
         "unit": "images/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,

@@ -1,0 +1,37 @@
+"""Pallas NMS kernel vs the numpy greedy oracle (interpreter mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fdt.ops.pallas_nms import pallas_nms_keep
+from tests.test_geometry import np_greedy_nms
+
+
+@pytest.mark.parametrize("mode", ["union", "minimum"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_nms_matches_oracle(mode, seed):
+    rng = np.random.RandomState(seed)
+    n = 200
+    centers = rng.rand(n, 2) * 4
+    wh = rng.rand(n, 2) * 2 + 0.5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    sorted_boxes = boxes[order]
+
+    want_keep_sorted = np.zeros(n, bool)
+    keep_orig = np_greedy_nms(boxes, scores, 0.5, mode)
+    inv = np.argsort(order)
+    want_keep_sorted[inv[keep_orig]] = True
+
+    got = np.asarray(pallas_nms_keep(jnp.asarray(sorted_boxes),
+                                     jnp.ones(n, bool), 0.5, mode=mode,
+                                     interpret=True))
+    np.testing.assert_array_equal(got, want_keep_sorted)
+
+
+def test_pallas_nms_respects_valid():
+    boxes = jnp.asarray(np.array([[0, 0, 1, 1], [0, 0, 1, 1]], np.float32))
+    got = np.asarray(pallas_nms_keep(boxes, jnp.array([False, True]), 0.5,
+                                     interpret=True))
+    np.testing.assert_array_equal(got, [False, True])

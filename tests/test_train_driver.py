@@ -10,13 +10,20 @@ from fdt.train.loops import PyramidTrainer, pad_targets, xavier_init_variables
 
 
 @pytest.fixture(scope="module")
-def tiny_trainer():
+def _tiny_trainer_base():
     from fdt.models.pyramidbox_mobile import build_pyramidbox
     model = build_pyramidbox("try3")
     trainer = PyramidTrainer(model, "try3", input_size=128,
                              freeze_predicate=lambda p: "features" in p)
     state = trainer.init_state(jax.random.PRNGKey(0))
-    return trainer, state
+    return trainer, jax.device_get(state)
+
+
+@pytest.fixture()
+def tiny_trainer(_tiny_trainer_base):
+    # fresh device copy per test: the train step donates its input state
+    trainer, host_state = _tiny_trainer_base
+    return trainer, jax.tree.map(jnp.asarray, host_state)
 
 
 def make_batch(rng, b=2, size=128):
@@ -43,12 +50,15 @@ def test_freeze_keeps_backbone_fixed(tiny_trainer, rng):
     batch = make_batch(rng)
     bb_key = next(k for k in state.params if k.startswith("features"))
     before = np.asarray(jax.tree.leaves(state.params[bb_key])[0]).copy()
+    # snapshot before the step: train_step donates `state`
+    head_before = np.asarray(state.params["face_conf__0"]["kernel"]).copy()
     state2, _ = trainer.train_step(state, *batch, 1e-2, freeze=True)
     after = np.asarray(jax.tree.leaves(state2.params[bb_key])[0])
-    np.testing.assert_array_equal(before, after)
+    # gradients are zeroed, but (like torch zero_grad + SGD step) the coupled
+    # weight decay still shifts params by lr·wd·p = 1e-6·p
+    np.testing.assert_allclose(after, before * (1 - 1e-2 * 1e-4), atol=1e-7)
     # heads did move
-    head_before = np.asarray(jax.tree.leaves(state.params["face_loc__0"])[0])
-    head_after = np.asarray(jax.tree.leaves(state2.params["face_loc__0"])[0])
+    head_after = np.asarray(state2.params["face_conf__0"]["kernel"])
     assert np.abs(head_after - head_before).max() > 0
 
 
