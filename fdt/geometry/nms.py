@@ -111,10 +111,10 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "out_k", "mode"))
+@functools.partial(jax.jit, static_argnames=("budget", "out_k", "mode", "impl"))
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                budget: int, out_k: int, mode: str = "union",
-               valid: jnp.ndarray | None = None):
+               valid: jnp.ndarray | None = None, impl: str = "xla"):
     """Greedy NMS with fixed-size output.
 
     Args:
@@ -139,7 +139,11 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     top_scores, order = jax.lax.top_k(scores, k)
     top_boxes = boxes[order]
     top_valid = top_scores > -jnp.inf
-    keep = nms_keep_mask(top_boxes, top_valid, iou_thresh, mode=mode)
+    if impl == "pallas":
+        from fdt.ops.pallas_nms import pallas_nms_keep
+        keep = pallas_nms_keep(top_boxes, top_valid, iou_thresh, mode=mode)
+    else:
+        keep = nms_keep_mask(top_boxes, top_valid, iou_thresh, mode=mode)
     # Stable-compact kept entries to the front (they are already score-ordered).
     comp = jnp.argsort(~keep, stable=True)
     count = jnp.minimum(jnp.sum(keep), out_k).astype(jnp.int32)

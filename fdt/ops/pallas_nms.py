@@ -41,24 +41,26 @@ def _nms_kernel(boxes_t_ref, valid_ref, thresh_ref, keep_ref, *, mode: str):
     keep_ref[:, :] = valid_ref[:, :]
 
     def body(i, _):
-        cur = keep_ref[0, i]
+        # Mosaic cannot dynamically index the lane axis, so per-box scalars
+        # are extracted with a one-hot masked reduction over [1, N].
+        onehot = (col == i).astype(jnp.float32)
+        cur = jnp.sum(keep_ref[:, :] * onehot)
+        bx1 = jnp.sum(x1 * onehot)
+        by1 = jnp.sum(y1 * onehot)
+        bx2 = jnp.sum(x2 * onehot)
+        by2 = jnp.sum(y2 * onehot)
 
-        @pl.when(cur > 0.5)
-        def _():
-            bx1, by1 = boxes_t_ref[0, i], boxes_t_ref[1, i]
-            bx2, by2 = boxes_t_ref[2, i], boxes_t_ref[3, i]
-            iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
-            ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
-            inter = iw * ih
-            a_i = (bx2 - bx1) * (by2 - by1)
-            if mode == "union":
-                denom = area + a_i - inter
-            else:  # "minimum"
-                denom = jnp.minimum(area, a_i)
-            ovr = inter / denom
-            suppress = (ovr >= thresh) & (col > i)
-            keep_ref[:, :] = jnp.where(suppress, 0.0, keep_ref[:, :])
-
+        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+        inter = iw * ih
+        a_i = (bx2 - bx1) * (by2 - by1)
+        if mode == "union":
+            denom = area + a_i - inter
+        else:  # "minimum"
+            denom = jnp.minimum(area, a_i)
+        ovr = inter / denom
+        suppress = (cur > 0.5) & (ovr >= thresh) & (col > i)
+        keep_ref[:, :] = jnp.where(suppress, 0.0, keep_ref[:, :])
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
