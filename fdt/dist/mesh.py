@@ -22,8 +22,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` local devices."""
-    devices = jax.devices()
+    """1-D data-parallel mesh over `n_devices` local devices.
+
+    If the default backend exposes fewer devices than requested (e.g. a single
+    tunneled TPU chip), fall back to the virtual-CPU backend so multi-chip
+    sharding can still be exercised (xla_force_host_platform_device_count).
+    """
+    devices = list(jax.devices())
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu = list(jax.devices("cpu"))
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devices = cpu
+        else:
+            raise ValueError(f"requested {n_devices} devices; have "
+                             f"{len(devices)} default + {len(cpu)} cpu")
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))

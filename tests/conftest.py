@@ -26,6 +26,17 @@ import pytest
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# Some environments ship accelerator plugins that ignore JAX_PLATFORMS and
+# claim the default backend (e.g. the tunneled single-TPU 'axon' platform).
+# Pin the default device to the virtual 8-device CPU backend explicitly so
+# tests are hermetic and multi-device paths actually see 8 devices.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:  # pragma: no cover
+    pass
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 
