@@ -13,8 +13,14 @@ from fdt.data.anno import parse_anno_file
 
 
 class EvalCollector:
-    def __init__(self, anno_file: str):
+    def __init__(self, anno_file: str, process_index: int | None = None,
+                 process_count: int | None = None):
+        """Optional multi-host sharding: each process takes a strided slice of
+        the record list (the DCN input-sharding layer; per-host results are
+        merged by concatenating TfConfAccumulator outputs)."""
         self.records = parse_anno_file(anno_file)
+        if process_count and process_count > 1:
+            self.records = self.records[process_index::process_count]
 
     def __len__(self) -> int:
         return len(self.records)
