@@ -41,14 +41,9 @@ def test_prior_grid_matches_loop_oracle():
 
 def test_prior_grid_matches_reference_torch(reference_root):
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, str(reference_root))
-    try:
-        from layers.functions.prior_box import PriorBoxLayer
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"reference import failed: {e}")
-    finally:
-        sys.path.pop(0)
-    ref = PriorBoxLayer(640, 640)
+    from tests.conftest import import_reference
+    pb = import_reference("layers.functions.prior_box")
+    ref = pb.PriorBoxLayer(640, 640)
     cfg = PYRAMID_REPO.face_priors
     for idx, (fw, fh) in enumerate([(160, 160), (80, 80), (40, 40)]):
         want = ref(idx, fw, fh).numpy()

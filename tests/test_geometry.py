@@ -98,14 +98,8 @@ def test_encode_known_value():
 
 def test_decode_against_reference_torch(reference_root, rng):
     torch = pytest.importorskip("torch")
-    import sys
-    sys.path.insert(0, str(reference_root))
-    try:
-        from layers import box_utils as ref_bu
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"reference import failed: {e}")
-    finally:
-        sys.path.pop(0)
+    from tests.conftest import import_reference
+    ref_bu = import_reference("layers.box_utils")
     loc = rng.randn(100, 4).astype(np.float32)
     priors = np.concatenate([rng.rand(100, 2), rng.rand(100, 2) * 0.3 + 0.05],
                             axis=1).astype(np.float32)
