@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Plot PR/ROC overlays or training-loss curves from dump files
 (reference draw_curve/draw_pr_roc.py and draw_curve/draw_loss.py)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 import numpy as np

@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """Generate + validate the one-line anno files (reference image_and_anno/anno/gen_anno.py)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.data.anno import generate_anno_file, validate_anno_file

@@ -7,6 +7,9 @@ Stages:
   onet  hard examples mined with trained P+R-Nets
   assemble  merge/subsample stage anno lists into one training file
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 import numpy as np

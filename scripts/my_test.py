@@ -6,6 +6,9 @@ Example:
       --anno image_and_anno/anno/gen_anno_file_val --threshold 0
 Writes draw_curve/data/data_of_<net>.npy in the reference dump layout.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.eval.runner import eval_pyramidbox

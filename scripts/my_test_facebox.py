@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """FaceBoxes WIDER-FACE val evaluation (reference FACEBOX/My_test_facebox.py CLI)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.eval.runner import eval_facebox

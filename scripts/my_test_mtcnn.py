@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """MTCNN WIDER-FACE val evaluation (reference MTCNN/My_test_mtcnn.py CLI)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import dataclasses
 

@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """Replay saved tracks over a video (reference iouTracke_display.py CLI)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.track import load_tracks

@@ -4,6 +4,9 @@
 Saves <video>.npy in the reference track format; replay with
 scripts/track_display.py.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.models.loader import load_pyramidbox_detector

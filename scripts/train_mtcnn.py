@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """Train an MTCNN cascade stage (reference MTCNN/mtcnn/train_net/train_{p,r,o}_net.py)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.data.mtcnn_data import append_flipped_images, parse_mtcnn_imdb

@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """Net2net distillation (reference train_net2net/Train_net2net_linux.py CLI)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

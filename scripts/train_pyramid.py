@@ -6,6 +6,9 @@ Examples:
   python scripts/train_pyramid.py --net try3 --batch_size 16 --lr 1e-4 \
       --momentum 0.3 --eval_freq 500 --train_pretrain 5000
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 import jax

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Webcam / video detection demos (reference Video.py, FACEBOX/Video.py,
 MTCNN/Video.py)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 from fdt.apps.video import facebox_demo, mtcnn_demo, pyramidbox_demo
