@@ -63,7 +63,10 @@ class PyramidBoxDetector:
     @functools.lru_cache(maxsize=64)
     def _compiled(self, width: int, height: int, conf_thresh: float,
                   nms_thresh: float):
-        shapes = feature_map_sizes(width, height, self.cfg.face_priors.strides)
+        # source shapes from an abstract trace: exact for every variant,
+        # including try4/try5's non-ceil-halving stem/smooth quirks
+        from fdt.models.shapes import trace_source_shapes
+        shapes = trace_source_shapes(self.model, self.variables, height, width)
         priors = jnp.asarray(pyramid_face_priors(self.cfg, shapes, width, height))
         dcfg = dataclasses.replace(self.detect_cfg, conf_thresh=conf_thresh,
                                    nms_thresh=nms_thresh)

@@ -107,7 +107,10 @@ class PyramidTrainer:
         # MyTrain_mobile.py:185-186): predicate over '/'-joined param paths
         self.freeze_predicate = freeze_predicate
         self.tx = sgd_optimizer(momentum, weight_decay)
-        shapes = feature_map_sizes(input_size, input_size, cfg.face_priors.strides)
+        # exact per-source shapes via abstract trace (try4/try5 break the
+        # ceil-halving rule that feature_map_sizes predicts)
+        from fdt.models.shapes import trace_source_shapes
+        shapes = trace_source_shapes(model, None, input_size, input_size)
         self.priors_face = jnp.asarray(
             pyramid_face_priors(cfg, shapes, input_size, input_size))
         self.priors_head = jnp.asarray(
