@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import zlib
 from typing import Any, Sequence
 
 import jax
@@ -54,7 +55,10 @@ def xavier_init_variables(variables, rng):
             kh, kw, i, o = leaf.shape
             fan_in, fan_out = i * kh * kw, o * kh * kw
             bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
-            key = jax.random.fold_in(rng, hash(jax.tree_util.keystr(path)) % (2**31))
+            # stable per-leaf key: Python's hash() is salted per process and
+            # would silently break same-seed reproducibility across runs
+            key = jax.random.fold_in(
+                rng, zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x7FFFFFFF)
             return jax.random.uniform(key, leaf.shape, leaf.dtype, -bound, bound)
         if name == "bias":
             return jnp.zeros_like(leaf)

@@ -88,3 +88,34 @@ def test_xavier_init_statistics():
     np.testing.assert_array_equal(np.asarray(out["params"]["conv"]["bias"]), 0)
     np.testing.assert_array_equal(np.asarray(out["params"]["bn"]["scale"]), 1)
     np.testing.assert_array_equal(np.asarray(out["params"]["bn"]["bias"]), 0)
+
+
+def test_xavier_init_deterministic_across_processes():
+    """Same seed → identical params in separate processes (different hash
+    salts): per-leaf keys must come from a stable digest, not Python hash()."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    prog = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import numpy as np, jax\n"
+        "from fdt.train.loops import xavier_init_variables\n"
+        "v = {'params': {'a': {'kernel': np.ones((3,3,4,8), np.float32)},\n"
+        "                'b': {'kernel': np.ones((1,1,8,8), np.float32)}}}\n"
+        "out = xavier_init_variables(v, jax.random.PRNGKey(7))\n"
+        "import zlib\n"
+        "buf = b''.join(np.asarray(l).tobytes() for l in jax.tree.leaves(out))\n"
+        "print(zlib.crc32(buf))\n"
+    )
+
+    def digest(seed_salt):
+        env = dict(os.environ, PYTHONHASHSEED=seed_salt)
+        r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                           text=True, env=env, cwd=str(REPO_ROOT))
+        assert r.returncode == 0, r.stderr
+        return r.stdout.strip().splitlines()[-1]
+
+    assert digest("1") == digest("2")
