@@ -78,7 +78,8 @@ def _overlap_matrix(boxes: jnp.ndarray, mode: str) -> jnp.ndarray:
 
 
 def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
-                  mode: str = "union") -> jnp.ndarray:
+                  mode: str = "union",
+                  seg_id: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy-NMS keep mask over boxes already sorted by descending score.
 
     Args:
@@ -88,6 +89,9 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
         (matches `IoU.lt(overlap)` survivors at layers/box_utils.py:339 and
         `ovr < threshold` at encoderl.py:260).
       mode: "union" | "minimum".
+      seg_id: optional [N] int segment ids; suppression then only acts within
+        a segment, computing every segment's independent greedy NMS in one
+        fixpoint (used for MTCNN's per-pyramid-level NMS, detect.py:314).
 
     Returns: [N] bool keep mask (subset of `valid`).
     """
@@ -96,6 +100,8 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
     idx = jnp.arange(n)
     # S[j, i]: an earlier (higher-score) valid box j suppresses i.
     suppress = (ov >= iou_thresh) & (idx[:, None] < idx[None, :]) & valid[:, None]
+    if seg_id is not None:
+        suppress &= seg_id[:, None] == seg_id[None, :]
 
     def cond(state):
         keep, prev, it = state

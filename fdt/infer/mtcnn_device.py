@@ -1,0 +1,379 @@
+"""MTCNN cascade, fully on device (SURVEY §7.4 redesign).
+
+The reference cascade (MTCNN/mtcnn/core/detect.py:246-620) interleaves host
+work with device forwards: a Python image-pyramid while-loop with a cv2.resize
+and a PNet round-trip per level, numpy NMS between stages, and a per-candidate
+cv2 crop loop feeding RNet/ONet.  On TPU that structure is bandwidth-bound on
+the host link, so here the *entire* cascade is one jitted XLA program per image
+shape:
+
+  * **Pyramid atlas** — every pyramid level is resized on device with a
+    separable constant-tap bilinear gather that reproduces cv2.resize's
+    fx-based coordinate mapping exactly (see _cv2_fx_taps) and is packed
+    into one tall canvas at even row offsets.  PNet runs fully
+    convolutionally ONCE over the atlas; because all PNet convs are VALID,
+    cells whose 12×12 window lies inside a level's rectangle are bit-identical
+    to a per-level run, and straddling cells are masked out at trace time.
+  * **Fixed candidate budgets** — top-K per level → vmapped device NMS
+    ('minimum', detect.py:314) → cross-level NMS ('union', detect.py:326) →
+    RNet budget → NMS → ONet budget → final NMS ('minimum', detect.py:579),
+    all via fdt.geometry.nms.nms_padded fixpoint sweeps.
+  * **Gather crops** — the reference's per-candidate square/pad/cv2.resize loop
+    (detect.py:396-405) becomes a vmapped bilinear gather that samples the
+    zero-extended image at cv2-resize source coordinates; out-of-image taps
+    read 0 exactly like the reference's zero-padded `tmp` canvas.
+
+One host→device transfer (the image) and one device→host transfer (the fixed
+[out_k] result block) per image.  The host path (fdt.infer.mtcnn) is kept as
+the parity oracle; scores differ only by the reference's uint8 quantization
+after each cv2.resize (the device path stays in float), which is bounded by
+tests/test_mtcnn_device.py on the shipped sample images.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdt.config import MTCNN, MTCNNConfig
+from fdt.geometry.nms import nms_keep_mask, nms_padded
+from fdt.models.mtcnn import ONet, PNet, RNet
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceBudgets:
+    """Static candidate-count caps for the fixed-shape cascade.
+
+    The reference carries unbounded candidate lists between stages; these caps
+    change results only when a stage would produce more candidates than its
+    cap (generous for face scenes; bench/tests verify the caps aren't hit on
+    the sample images)."""
+    pnet_cand_k: int = 8192  # above-threshold cells entering per-level PNet NMS
+    merge_k: int = 2048      # per-level survivors entering the cross-level NMS
+    rnet_k: int = 2048       # crops entering RNet (≥ merge_k: the reference
+                             # feeds every PNet survivor to RNet, detect.py:352)
+    onet_k: int = 512        # crops entering ONet
+    out_k: int = 256         # final detections returned
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidPlan:
+    """Static per-(h,w) pyramid layout + PNet cell→box constants."""
+    h: int
+    w: int
+    levels: tuple  # ((lh, lw, y_off, scale), ...)
+    atlas_h: int
+    atlas_w: int
+    map_h: int
+    map_w: int
+    cell_boxes: np.ndarray   # [map_h*map_w, 4] f32 (x1,y1,x2,y2 in image coords)
+    cell_level: np.ndarray   # [map_h*map_w] int32, -1 for invalid cells
+
+
+def _pnet_map_size(n: int) -> int:
+    """PNet output extent for input extent n (conv3→pool2/2→conv3→conv3, VALID)."""
+    return max((n - 2) // 2 - 4, 0)
+
+
+@functools.lru_cache(maxsize=256)
+def build_plan(h: int, w: int, min_face_size: float = MTCNN.min_face_size,
+               scale_factor: float = MTCNN.scale_factor,
+               cell_size: int = MTCNN.cell_size,
+               stride: int = MTCNN.stride) -> PyramidPlan:
+    """Scale ladder + atlas layout + cell→box maps for one image shape.
+
+    Level sizes replicate cv2.resize(im, None, fx=s, fy=s): rint(extent·s)
+    (detect.py:277-284).  Levels stack vertically at even row offsets so the
+    PNet stride-2 pooling grid stays aligned with each level's own grid.
+    """
+    net_size = 12
+    s = net_size / min_face_size
+    levels = []
+    y = 0
+    lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
+    while min(lh, lw) > net_size:
+        levels.append((lh, lw, y, s))
+        y += lh + (lh % 2)  # keep offsets even
+        s *= scale_factor
+        lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
+    if not levels:
+        raise ValueError(f"image {h}x{w} smaller than the {net_size}px net")
+    atlas_h, atlas_w = y, max(lw_ for _, lw_, _, _ in levels)
+    map_h, map_w = _pnet_map_size(atlas_h), _pnet_map_size(atlas_w)
+
+    boxes = np.zeros((map_h, map_w, 4), np.float32)
+    level_id = np.full((map_h, map_w), -1, np.int32)
+    for li, (lh_, lw_, y_off, sc) in enumerate(levels):
+        if min(lh_, lw_) < cell_size:
+            continue
+        i0 = y_off // 2
+        vh = (lh_ - cell_size) // stride + 1
+        vw = (lw_ - cell_size) // stride + 1
+        ii = np.arange(vh)
+        jj = np.arange(vw)
+        # generate_bounding_box (detect.py:134-181): round(stride·cell / scale)
+        x1 = np.round((stride * jj) / sc)
+        y1 = np.round((stride * ii) / sc)
+        x2 = np.round((stride * jj + cell_size) / sc)
+        y2 = np.round((stride * ii + cell_size) / sc)
+        sl = (slice(i0, i0 + vh), slice(0, vw))
+        boxes[sl + (0,)] = x1[None, :]
+        boxes[sl + (1,)] = y1[:, None]
+        boxes[sl + (2,)] = x2[None, :]
+        boxes[sl + (3,)] = y2[:, None]
+        level_id[sl] = li
+    return PyramidPlan(h, w, tuple(levels), atlas_h, atlas_w, map_h, map_w,
+                       boxes.reshape(-1, 4), level_id.reshape(-1))
+
+
+def _cv2_fx_taps(src: int, dst: int, fx: float):
+    """Bilinear taps/weights for cv2.resize(im, None, fx=fx) along one axis.
+
+    cv2 maps dst pixel u → src coord (u+0.5)/fx − 0.5 (the INVERSE of the
+    requested factor, NOT the src/dst size ratio — dst = rint(src·fx) makes
+    those differ, which is why jax.image.resize can't reproduce it), and at
+    the borders clamps the tap with weight forced to 0."""
+    g = (np.arange(dst) + 0.5) / fx - 0.5
+    i0 = np.floor(g).astype(np.int32)
+    f = (g - i0).astype(np.float32)
+    f = np.where(i0 < 0, 0.0, f)
+    i0 = np.maximum(i0, 0)
+    f = np.where(i0 >= src - 1, 0.0, f).astype(np.float32)
+    i0 = np.minimum(i0, src - 1).astype(np.int32)
+    i1 = np.minimum(i0 + 1, src - 1).astype(np.int32)
+    return i0, i1, f
+
+
+def _resize_level(img255, src_h: int, src_w: int, lh: int, lw: int, fx: float):
+    """cv2.resize(uint8 im, None, fx=fx) on device: exact coordinate mapping
+    via constant separable taps, then rounding to integers like the uint8
+    output the reference feeds PNet (detect.py:278-284)."""
+    y0, y1, wy = _cv2_fx_taps(src_h, lh, fx)
+    x0, x1, wx = _cv2_fx_taps(src_w, lw, fx)
+    rows = (img255[y0] * (1.0 - wy)[:, None, None]
+            + img255[y1] * wy[:, None, None])          # [lh, src_w, 3]
+    lvl = (rows[:, x0] * (1.0 - wx)[None, :, None]
+           + rows[:, x1] * wx[None, :, None])          # [lh, lw, 3]
+    return jnp.round(lvl)
+
+
+def _apply_regression(boxes, reg, scores):
+    """detect.py:336-348 / 445-452: offsets scaled by inclusive box extent."""
+    bw = boxes[:, 2] - boxes[:, 0] + 1.0
+    bh = boxes[:, 3] - boxes[:, 1] + 1.0
+    return jnp.stack([boxes[:, 0] + reg[:, 0] * bw,
+                      boxes[:, 1] + reg[:, 1] * bh,
+                      boxes[:, 2] + reg[:, 2] * bw,
+                      boxes[:, 3] + reg[:, 3] * bh,
+                      scores], axis=1)
+
+
+def _square_round_clamp(boxes, h: int, w: int):
+    """square_bbox + round + pad clamp (detect.py:102-131, 183-244, 414-415).
+
+    Returns (clamped [K,4] — what flows onward, exactly like the reference's
+    in-place clamp), plus the UNclamped rounded origin/extent the crop sampler
+    needs (the zero-padded `tmp` canvas geometry)."""
+    bw = boxes[:, 2] - boxes[:, 0] + 1.0
+    bh = boxes[:, 3] - boxes[:, 1] + 1.0
+    la = jnp.maximum(bw, bh)
+    x1f = boxes[:, 0] + bw * 0.5 - la * 0.5
+    y1f = boxes[:, 1] + bh * 0.5 - la * 0.5
+    x1 = jnp.round(x1f)
+    y1 = jnp.round(y1f)
+    x2 = jnp.round(x1f + la - 1.0)
+    y2 = jnp.round(y1f + la - 1.0)
+    tmpw = x2 - x1 + 1.0
+    tmph = y2 - y1 + 1.0
+    clamped = jnp.stack([jnp.maximum(x1, 0.0), jnp.maximum(y1, 0.0),
+                         jnp.minimum(x2, float(w - 1)),
+                         jnp.minimum(y2, float(h - 1))], axis=1)
+    return clamped, x1, y1, tmpw, tmph
+
+
+def _crop_resize(image, h: int, w: int, x1, y1, tmpw, tmph, out_size: int):
+    """Bilinear gather replicating zero-pad-crop + cv2.resize (detect.py:396-405).
+
+    cv2.resize samples src coord (u+0.5)·(src/dst) − 0.5 clamped to the source
+    canvas; the source canvas here is the zero-extended image window starting
+    at (x1, y1) with extent (tmpw, tmph)."""
+    u = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    sx = jnp.clip(u * (tmpw / out_size) - 0.5, 0.0, jnp.maximum(tmpw - 1.0, 0.0))
+    sy = jnp.clip(u * (tmph / out_size) - 0.5, 0.0, jnp.maximum(tmph - 1.0, 0.0))
+    gx = x1 + sx
+    gy = y1 + sy
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = (gx - x0)[None, :, None]
+    fy = (gy - y0)[:, None, None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def fetch(yi, xi):
+        iny = (yi >= 0) & (yi < h)
+        inx = (xi >= 0) & (xi < w)
+        px = image[jnp.clip(yi, 0, h - 1)[:, None], jnp.clip(xi, 0, w - 1)[None, :]]
+        return px * (iny[:, None] & inx[None, :])[..., None]
+
+    top = fetch(y0, x0) * (1 - fx) + fetch(y0, x0 + 1) * fx
+    bot = fetch(y0 + 1, x0) * (1 - fx) + fetch(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+class MTCNNDeviceCascade:
+    """Single-jit MTCNN cascade. One compile per image (h, w); fixed-size
+    streams (video/webcam/tracking, bucketed eval) compile once and stay on
+    device.  detect_face() API matches fdt.infer.mtcnn.MTCNNDetector."""
+
+    def __init__(self, pnet_vars, rnet_vars, onet_vars,
+                 cfg: MTCNNConfig = MTCNN, budgets: DeviceBudgets = DeviceBudgets(),
+                 precision: str = "highest"):
+        self.cfg = cfg
+        self.budgets = budgets
+        self.precision = precision
+        self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
+        self.vars = {"pnet": pnet_vars, "rnet": rnet_vars, "onet": onet_vars}
+        self._jitted = {}
+
+    # ----- cascade body (traced once per plan) --------------------------------
+    def _cascade(self, plan: PyramidPlan, variables, image, stage: str = "onet"):
+        cfg, bud = self.cfg, self.budgets
+        h, w = plan.h, plan.w
+        img255 = image.astype(jnp.float32)  # integer-valued, like the uint8 source
+
+        # 1. pyramid atlas (cv2-exact level resizes, quantized like uint8)
+        atlas = jnp.zeros((plan.atlas_h, plan.atlas_w, 3), jnp.float32)
+        for (lh, lw, y_off, s) in plan.levels:
+            lvl = _resize_level(img255, h, w, lh, lw, s)
+            atlas = jax.lax.dynamic_update_slice(atlas, lvl, (y_off, 0, 0))
+
+        # 2. one PNet forward over the atlas
+        with jax.default_matmul_precision(self.precision):
+            cls_map, reg_map = self.pnet.apply(variables["pnet"], atlas[None] / 255.0)
+        scores = cls_map[0, :, :, 0].reshape(-1)
+        regs = reg_map[0].reshape(-1, 4)
+        cell_boxes = jnp.asarray(plan.cell_boxes)
+        cell_level = jnp.asarray(plan.cell_level)
+        scores = jnp.where((cell_level >= 0) & (scores > cfg.thresholds[0]),
+                           scores, -jnp.inf)
+
+        # 3. per-level NMS ('minimum' 0.4, detect.py:314): top-K over ALL levels'
+        # above-threshold cells, suppression segmented by level id — every
+        # level's independent greedy NMS solved in one fixpoint
+        k = min(bud.pnet_cand_k, scores.shape[0])
+        top_s, top_i = jax.lax.top_k(scores, k)
+        top_b = cell_boxes[top_i]
+        top_r = regs[top_i]
+        top_lvl = cell_level[top_i]
+        keep = nms_keep_mask(top_b, top_s > -jnp.inf, cfg.pnet_nms_per_level,
+                             mode="minimum", seg_id=top_lvl)
+
+        # 4. cross-level merge NMS ('union' 0.6, detect.py:326) + regression
+        flat_s = jnp.where(keep, top_s, -jnp.inf)
+        kidx, kcnt = nms_padded(top_b, flat_s, cfg.pnet_nms_merge,
+                                budget=bud.merge_k, out_k=bud.merge_k, mode="union")
+        m_valid = jnp.arange(bud.merge_k) < kcnt
+        m_scores = jnp.where(m_valid, flat_s[kidx], -jnp.inf)
+        p_align = _apply_regression(top_b[kidx], top_r[kidx], m_scores)
+        if stage == "pnet":
+            return p_align, p_align[:, :4], kcnt
+
+        # 5. RNet (detect.py:352-465)
+        r_in = min(bud.rnet_k, bud.merge_k)
+        r_scores, r_sel = jax.lax.top_k(m_scores, r_in)
+        r_boxes = p_align[r_sel]
+        r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, h, w)
+        # round like the reference's uint8 crop canvas, then /255 (ToTensor)
+        crops24 = jnp.round(jax.vmap(
+            lambda a, b, c, d: _crop_resize(img255, h, w, a, b, c, d, 24))(
+                rx1, ry1, rtw, rth)) / 255.0
+        with jax.default_matmul_precision(self.precision):
+            r_cls, r_reg = self.rnet.apply(variables["rnet"], crops24)
+        r_cls = r_cls[:, 0]
+        # the reference's RNet NMS orders by the PNet score still in column 4
+        # (utils.nms over dets, detect.py:431); the RNet score replaces the
+        # column only afterwards (keep_boxes[:,4]=keep_cls, detect.py:441)
+        r_nms_s = jnp.where((r_scores > -jnp.inf) & (r_cls > cfg.thresholds[1]),
+                            r_scores, -jnp.inf)
+        kidx, kcnt = nms_padded(r_clamped, r_nms_s, cfg.rnet_nms,
+                                budget=r_in, out_k=bud.onet_k, mode="union")
+        o_valid = jnp.arange(bud.onet_k) < kcnt
+        o_s = jnp.where(o_valid, r_cls[kidx], -jnp.inf)
+        r_align = _apply_regression(r_clamped[kidx], r_reg[kidx], o_s)
+        if stage == "rnet":
+            return r_align, r_align[:, :4], kcnt
+
+        # 6. ONet (detect.py:467-583)
+        o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, h, w)
+        crops48 = jnp.round(jax.vmap(
+            lambda a, b, c, d: _crop_resize(img255, h, w, a, b, c, d, 48))(
+                ox1, oy1, otw, oth)) / 255.0
+        with jax.default_matmul_precision(self.precision):
+            o_cls, o_reg, o_lm = self.onet.apply(variables["onet"], crops48)
+        o_cls = o_cls[:, 0]
+        f_s = jnp.where((o_s > -jnp.inf) & (o_cls > cfg.thresholds[2]),
+                        o_cls, -jnp.inf)
+        o_align = _apply_regression(o_clamped, o_reg, f_s)
+        bw = o_clamped[:, 2] - o_clamped[:, 0] + 1.0
+        bh = o_clamped[:, 3] - o_clamped[:, 1] + 1.0
+        lm = jnp.concatenate([
+            (o_clamped[:, 0:1] + o_lm[:, 0::2] * bw[:, None])[:, :, None],
+            (o_clamped[:, 1:2] + o_lm[:, 1::2] * bh[:, None])[:, :, None],
+        ], axis=2).reshape(-1, 10)
+
+        kidx, kcnt = nms_padded(o_align[:, :4], f_s, cfg.onet_nms,
+                                budget=bud.onet_k, out_k=bud.out_k, mode="minimum")
+        return o_align[kidx], lm[kidx], kcnt
+
+    # ----- host API ------------------------------------------------------------
+    def _compiled(self, h: int, w: int, stage: str = "onet"):
+        key = (h, w, stage)
+        if key not in self._jitted:
+            plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
+                              self.cfg.cell_size, self.cfg.stride)
+            fn = functools.partial(self._cascade, plan, stage=stage)
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def detect_stage(self, img: np.ndarray, stage: str):
+        """Run the cascade up to `stage` ('pnet'|'rnet'|'onet') → aligned boxes
+        [N,5]; parity/debug hook mirroring the reference's per-stage returns."""
+        h, w = img.shape[:2]
+        boxes, _, count = self._compiled(h, w, stage)(self.vars, jnp.asarray(img))
+        return np.asarray(boxes)[: int(count)]
+
+    def detect_face(self, img: np.ndarray):
+        """Full cascade → (boxes [N,5], landmarks [N,10]); same contract as the
+        host-path MTCNNDetector.detect_face (detect.py:585-620)."""
+        h, w = img.shape[:2]
+        fn = self._compiled(h, w)
+        boxes, lm, count = fn(self.vars, jnp.asarray(img))
+        n = int(count)
+        if n == 0:
+            return np.array([]), np.array([])
+        return np.asarray(boxes)[:n], np.asarray(lm)[:n]
+
+    def detect_batch(self, imgs: np.ndarray):
+        """Batched same-size cascade (vmapped whole pipeline) →
+        (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B])."""
+        b, h, w = imgs.shape[:3]
+        key = ("batch", b, h, w)
+        if key not in self._jitted:
+            plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
+                              self.cfg.cell_size, self.cfg.stride)
+            fn = functools.partial(self._cascade, plan)
+            self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
+        boxes, lm, counts = self._jitted[key](self.vars, jnp.asarray(imgs))
+        return np.asarray(boxes), np.asarray(lm), np.asarray(counts)
+
+
+def load_device_cascade(p_path: str, r_path: str, o_path: str,
+                        cfg: MTCNNConfig = MTCNN, **kw) -> MTCNNDeviceCascade:
+    """Device cascade from the reference .pt checkpoints."""
+    from fdt.infer.mtcnn import load_mtcnn_detector
+    host = load_mtcnn_detector(p_path, r_path, o_path, cfg)
+    return MTCNNDeviceCascade(host.vars["pnet"], host.vars["rnet"],
+                              host.vars["onet"], cfg, **kw)
