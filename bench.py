@@ -1,14 +1,25 @@
-"""Benchmark: flagship detector throughput vs the CPU reference.
+"""Benchmark: framework throughput vs the CPU reference, all BASELINE configs.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+Prints ONE JSON line whose primary metric is the flagship detector
+(PyramidBox-ResNet50 640² full detect, NMS budget 5000 = the reference's
+nms_top_k, layers/functions/detection.py:32), with `mfu` (model FLOP/s ÷ chip
+peak from the compiled graph's cost analysis) and an `extras` dict carrying
+the remaining BASELINE.md configs:
 
-Measures the full jitted PyramidBox-ResNet50 detection pipeline (preprocess →
-forward → decode → NMS → [B,2,750,5]) at 640², the reference's flagship eval
-config (My_test.py --net repo).  `vs_baseline` is the throughput ratio against
-the PyTorch reference running the same network on this host's CPU (the only
-hardware the reference can use in this environment); the reference publishes no
-numbers of its own (BASELINE.md).
+  facebox   — FaceBoxes 1024² detect (pretrained faceboxes.pt weights)
+  mtcnn     — device-side 3-stage cascade, 640×480 frames (pretrained weights)
+  try1/try3 — PyramidBox-Mobile 640² detect
+  tracker   — PyramidBox 640×480 detect + IoU-tracker association per frame
+
+`vs_baseline` values are throughput ratios against the PyTorch reference
+running the SAME config on this host's CPU (the only hardware the reference
+can use here; it publishes no numbers of its own — BASELINE.md).  Baselines
+are measured once and cached in .bench_cache.json.
+
+Timing protocol: inputs staged with device_put, outputs reduced to an
+in-graph scalar checksum, one blocking readback at the end — this environment
+reaches the TPU through a slow tunnel (~25MB/s), so per-iteration host fetches
+would measure the tunnel, not the chip.
 """
 import argparse
 import json
@@ -16,16 +27,57 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 import numpy as np
 
 CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
-# torch-CPU PyramidBox@640 forward on this image's single-core host, measured
-# via --measure-baseline; used when the reference repo is unavailable.
-FALLBACK_BASELINE_IPS = None
+SAMPLE_IMG = "/root/reference/image_and_anno/test_image/try1/try1_thresh_0.39_13.jpg"
+MTCNN_P = "/root/reference/MTCNN/original_model/pnet_epoch.pt"
+FACEBOX_PT = "/root/reference/FACEBOX/faceboxes.pt"
+
+# bf16 peak FLOP/s per chip by device kind (MXU); used for the MFU figure.
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+              "TPU v6 lite": 918e12, "TPU v6e": 918e12}
 
 
-def measure_ours(batch: int, iters: int, dtype: str, budget: int,
-                 variant: str = "repo", size: int = 640) -> float:
+def _sample_frame(h, w):
+    """A real image (realistic score distribution for NMS) resized to h×w."""
+    import cv2
+    if os.path.exists(SAMPLE_IMG):
+        return cv2.resize(cv2.imread(SAMPLE_IMG), (w, h))
+    rng = np.random.RandomState(0)
+    return (rng.rand(h, w, 3) * 255).astype(np.uint8)
+
+
+def _time_checksum(fn, args, iters):
+    """Median-free simple wall timing of a jitted scalar-returning fn."""
+    import jax
+    r = fn(*args)
+    jax.block_until_ready(r)
+    float(np.asarray(r))  # settle the tunnel
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    float(np.asarray(r))
+    return time.perf_counter() - t0
+
+
+def _cost_flops(lowered_compiled):
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
+                       want_mfu=False):
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector
@@ -36,90 +88,260 @@ def measure_ours(batch: int, iters: int, dtype: str, budget: int,
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
     det = PyramidBoxDetector(variables, model, variant, budget=budget,
                              precision="default" if dt is not None else "highest")
-    rng = np.random.RandomState(0)
-    images = (rng.rand(batch, size, size, 3) * 255).astype(np.uint8)
+    images = np.broadcast_to(_sample_frame(size, size), (batch, size, size, 3)).copy()
     run = det._compiled(size, size, 0.35, 0.35)
-
-    # Time the device-resident pipeline with an in-graph checksum: this test
-    # environment reaches the TPU through a slow tunnel, so fetching the
-    # [B,2,750,5] tensor per batch measures the tunnel, not the chip (on real
-    # hardware the 240KB PCIe fetch is microseconds).  One full fetch below
-    # validates the real outputs.
-    import jax.numpy as jnp2
 
     @jax.jit
     def run_summed(variables, images):
-        return jnp2.sum(run(variables, images)).astype(jnp2.float32)
+        return jnp.sum(run(variables, images)).astype(jnp.float32)
 
-    # stage inputs on device: the tunnel uploads ~10MB/batch at ~25MB/s, which
-    # would measure the test harness, not the chip (real PCIe: ~0.5ms)
     images = jax.device_put(images)
-    full = jax.device_get(run(det.variables, images))   # compile + validate
+    full = jax.device_get(run(det.variables, images))    # compile + validate
     assert np.isfinite(full).all()
-    r = run_summed(det.variables, images)               # compile + warmup
-    jax.block_until_ready(r)
-    float(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = run_summed(det.variables, images)
-    jax.block_until_ready(r)
-    float(r)
-    dt_s = time.perf_counter() - t0
+    dt_s = _time_checksum(run_summed, (det.variables, images), iters)
+    ips = batch * iters / dt_s
+    mfu = None
+    if want_mfu:
+        flops = _cost_flops(run_summed.lower(det.variables, images).compile())
+        if flops:
+            kind = jax.devices()[0].device_kind
+            peak = PEAK_FLOPS.get(kind)
+            if peak:
+                mfu = (flops * iters / dt_s) / peak
+    return ips, mfu
+
+
+def measure_facebox(batch=16, iters=20):
+    import jax
+    import jax.numpy as jnp
+    from fdt.infer.facebox import FaceBoxDetector
+    from fdt.models.facebox import FaceBox
+    from fdt.models.torch_convert import load_torch_state_dict, torch_to_flax
+
+    model = FaceBox()
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    if os.path.exists(FACEBOX_PT):
+        variables = torch_to_flax(load_torch_state_dict(FACEBOX_PT), template,
+                                  strict=True)
+    else:  # random weights if the checkpoint is missing
+        variables = jax.tree.map(
+            lambda z: np.asarray(jax.random.normal(
+                jax.random.PRNGKey(0), z.shape, z.dtype)) * 0.05, template)
+    det = FaceBoxDetector(variables, precision="default")
+    s = det.cfg.input_size
+    images = np.broadcast_to(_sample_frame(s, s), (batch, s, s, 3)).copy()
+
+    @jax.jit
+    def run_summed(variables, images):
+        boxes, scores, count = det._detect_impl(variables, images)
+        return (jnp.sum(boxes) + jnp.sum(scores) + jnp.sum(count)).astype(jnp.float32)
+
+    images = jax.device_put(images)
+    dt_s = _time_checksum(run_summed, (det.variables, images), iters)
     return batch * iters / dt_s
 
 
-def measure_reference_cpu(iters: int = 2) -> float | None:
-    """PyTorch reference SFD forward+Detect on host CPU (single image)."""
-    ref = "/root/reference"
-    if not os.path.isdir(ref):
+def measure_mtcnn(batch=8, iters=10, h=480, w=640):
+    import jax
+    import jax.numpy as jnp
+    from fdt.infer.mtcnn_device import load_device_cascade
+
+    if not os.path.exists(MTCNN_P):
         return None
+    dev = load_device_cascade(MTCNN_P, MTCNN_P.replace("pnet", "rnet"),
+                              MTCNN_P.replace("pnet", "onet"))
+    frame = _sample_frame(h, w)
+    imgs = np.broadcast_to(frame, (batch, h, w, 3)).copy()
+    # sanity: the cascade finds faces on the sample frame
+    boxes, _ = dev.detect_face(frame)
+    from fdt.infer.mtcnn_device import build_plan
+    plan = build_plan(h, w, dev.cfg.min_face_size, dev.cfg.scale_factor,
+                      dev.cfg.cell_size, dev.cfg.stride)
+    import functools
+    cascade = jax.vmap(functools.partial(dev._cascade, plan), in_axes=(None, 0))
+
+    @jax.jit
+    def run_summed(variables, images):
+        b, lm, cnt = cascade(variables, images)
+        return (jnp.sum(jnp.where(jnp.isfinite(b), b, 0.0))
+                + jnp.sum(cnt)).astype(jnp.float32)
+
+    imgs = jax.device_put(imgs)
+    dt_s = _time_checksum(run_summed, (dev.vars, imgs), iters)
+    return batch * iters / dt_s
+
+
+def measure_tracker(iters=3, frames=32):
+    """Offline tracking FPS: per-frame PyramidBox detect (640×480, the
+    iouTracke_cal.py protocol) + greedy IoU association on host."""
+    import jax
+    import jax.numpy as jnp
+    from fdt.infer.pyramidbox import PyramidBoxDetector, detections_to_rows
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    from fdt.track.iou_tracker import IoUTracker
+
+    model = build_pyramidbox("repo", dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3)))
+    det = PyramidBoxDetector(variables, model, "repo", budget=5000,
+                             precision="default")
+    frame = _sample_frame(480, 640)
+    run = det._compiled(640, 480, 0.4, 0.35)
+    staged = jax.device_put(frame[None])
+    np.asarray(run(det.variables, staged))  # compile
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(iters):
+        tracker = IoUTracker()
+        for _f in range(frames):
+            out = np.asarray(run(det.variables, staged))[0]
+            rows = detections_to_rows(out, 0.4, [640, 480, 640, 480])
+            tracker.step(rows)
+            n += 1
+    return n / (time.perf_counter() - t0)
+
+
+# ---------------- reference CPU baselines ---------------------------------------
+
+def _ref_path():
+    sys.path.insert(0, "/root/reference")
+
+
+def _ref_stubs():
+    import types
+    import torch
+    time.clock = getattr(time, "clock", time.time)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.memory_cached = lambda *a, **k: 0
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tfm = types.ModuleType("torchvision.transforms")
+
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic).astype(np.float32) / 255.0
+                return torch.from_numpy(arr.transpose(2, 0, 1))
+
+        tfm.ToTensor = _ToTensor
+        tv.transforms = tfm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tfm
+    return torch
+
+
+def measure_reference_pyramid(variant="repo", size=640, iters=2):
+    torch = _ref_stubs()
+    _ref_path()
     try:
-        import time as _time
-        import types
-        import torch
-        _time.clock = getattr(_time, "clock", _time.time)
-        time.clock = time.time
-        torch.Tensor.cuda = lambda self, *a, **k: self
-        if "torchvision" not in sys.modules:
-            tv = types.ModuleType("torchvision")
-            tv.transforms = types.ModuleType("torchvision.transforms")
-            tv.transforms.ToTensor = object
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.transforms"] = tv.transforms
-        sys.path.insert(0, ref)
-        try:
-            from pyramid import build_sfd
-        finally:
-            sys.path.pop(0)
+        if variant == "repo":
+            from pyramid import build_sfd as build
+        elif variant == "try1":
+            from pyramid_mobile_try1 import build_sfd_mobile as build
+        elif variant == "try3":
+            from pyramid_mb2_try3 import build_sfd_mobile as build
+        else:
+            return None
         torch.manual_seed(0)
-        net = build_sfd("test", 640, 2)
+        net = build("test", 640, 2)
         net.eval()
-        x = torch.zeros(1, 3, 640, 640)
+        if size == 640:
+            x = torch.zeros(1, 3, 640, 640)
+        else:
+            x = torch.zeros(1, 3, size, 640)
         with torch.no_grad():
-            net(x)  # warmup / prior build
+            net(x)
             t0 = time.perf_counter()
             for _ in range(iters):
                 net.firstTime = True
                 net(x)
-            dt = time.perf_counter() - t0
-        return iters / dt
-    except Exception as e:  # pragma: no cover
-        print(f"# reference baseline failed: {e}", file=sys.stderr)
+            return iters / (time.perf_counter() - t0)
+    finally:
+        sys.path.pop(0)
+
+
+def measure_reference_facebox(iters=3):
+    torch = _ref_stubs()
+    _ref_path()
+    try:
+        from FACEBOX.encoderl import DataEncoder
+        from FACEBOX.networks import FaceBox
+        net = FaceBox()
+        if os.path.exists(FACEBOX_PT):
+            net.load_state_dict(torch.load(FACEBOX_PT, map_location="cpu",
+                                           weights_only=True))
+        net.eval()
+        enc = DataEncoder()
+        im = _sample_frame(1024, 1024).astype(np.float32) / 255.0
+        x = torch.from_numpy(im.transpose(2, 0, 1))[None]
+        with torch.no_grad():
+            loc, conf = net(x)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                loc, conf = net(x)
+                sm = torch.nn.functional.softmax(conf.squeeze(0), dim=1)
+                # decode_np expects torch tensors (calls .numpy() itself,
+                # encoderl.py:315-319)
+                enc.decode_np(loc.detach().squeeze(0), sm.detach())
+            return iters / (time.perf_counter() - t0)
+    finally:
+        sys.path.pop(0)
+
+
+def measure_reference_mtcnn(iters=3):
+    torch = _ref_stubs()  # noqa: F841
+    if not os.path.exists(MTCNN_P):
         return None
+    _ref_path()
+    try:
+        from MTCNN.mtcnn.core.detect import MtcnnDetector, create_mtcnn_net
+        pnet, rnet, onet = create_mtcnn_net(
+            MTCNN_P, MTCNN_P.replace("pnet", "rnet"),
+            MTCNN_P.replace("pnet", "onet"), use_cuda=False)
+        det = MtcnnDetector(pnet=pnet, rnet=rnet, onet=onet)
+        frame = _sample_frame(480, 640)
+        det.detect_face(frame)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            det.detect_face(frame)
+        return iters / (time.perf_counter() - t0)
+    finally:
+        sys.path.pop(0)
 
 
-def get_baseline(refresh: bool = False) -> float | None:
-    if not refresh and os.path.exists(CACHE):
+BASELINE_FNS = {
+    "flagship": lambda: measure_reference_pyramid("repo"),
+    "facebox": measure_reference_facebox,
+    "mtcnn": measure_reference_mtcnn,
+    "try1": lambda: measure_reference_pyramid("try1"),
+    "try3": lambda: measure_reference_pyramid("try3"),
+    "tracker": lambda: measure_reference_pyramid("repo", size=480),
+}
+
+
+def get_baselines(refresh=False):
+    cache = {}
+    if os.path.exists(CACHE):
         try:
-            return json.load(open(CACHE))["reference_cpu_images_per_sec"]
+            cache = json.load(open(CACHE))
         except Exception:
-            pass
-    ips = measure_reference_cpu()
-    if ips is None:
-        ips = FALLBACK_BASELINE_IPS
-    if ips is not None:
-        json.dump({"reference_cpu_images_per_sec": ips}, open(CACHE, "w"))
-    return ips
+            cache = {}
+    if "reference_cpu_images_per_sec" in cache:  # round-1 cache layout
+        cache.setdefault("flagship", cache.pop("reference_cpu_images_per_sec"))
+    changed = False
+    for name, fn in BASELINE_FNS.items():
+        if refresh or name not in cache:
+            if not os.path.isdir("/root/reference"):
+                continue
+            try:
+                cache[name] = fn()
+            except Exception as e:  # pragma: no cover
+                print(f"# baseline {name} failed: {e}", file=sys.stderr)
+                cache[name] = None
+            changed = True
+    if changed:
+        json.dump(cache, open(CACHE, "w"))
+    return cache
 
 
 def main():
@@ -127,29 +349,63 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    ap.add_argument("--budget", type=int, default=1024,
+    ap.add_argument("--budget", type=int, default=5000,
                     help="NMS candidate budget (5000 = reference nms_top_k)")
-    ap.add_argument("--variant", default="repo",
-                    choices=["repo", "try1", "try2", "try3", "try4", "try5"])
+    ap.add_argument("--configs", default="all",
+                    help="comma list of flagship,facebox,mtcnn,try1,try3,tracker")
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
 
-    baseline = get_baseline(refresh=args.measure_baseline)
-    ours = measure_ours(args.batch, args.iters, args.dtype, args.budget,
-                        variant=args.variant)
-    # vs_baseline is the torch-CPU reference running the SAME flagship config;
-    # for non-flagship variants it is still reported against that flagship CPU
-    # number (the reference publishes nothing else, BASELINE.md)
-    vs = (ours / baseline) if baseline else None
-    names = {"repo": "pyramidbox_res50_640_detect_images_per_sec_per_chip"}
-    metric = names.get(args.variant,
-                       f"pyramidbox_{args.variant}_640_detect_images_per_sec_per_chip")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(ours, 2),
+    want = (list(BASELINE_FNS) if args.configs == "all"
+            else [c.strip() for c in args.configs.split(",")])
+    baselines = get_baselines(refresh=args.measure_baseline)
+
+    def ratio(v, name):
+        b = baselines.get(name)
+        return round(v / b, 2) if (v and b) else None
+
+    results = {}
+    mfu = None
+    for name in want:
+        try:
+            if name == "flagship":
+                ips, mfu = measure_pyramidbox(args.batch, args.iters, args.dtype,
+                                              args.budget, "repo", want_mfu=True)
+            elif name in ("try1", "try3"):
+                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
+                                            args.budget, name)
+            elif name == "facebox":
+                ips = measure_facebox()
+            elif name == "mtcnn":
+                ips = measure_mtcnn()
+            elif name == "tracker":
+                ips = measure_tracker()
+            else:
+                continue
+            results[name] = ips
+        except Exception as e:  # pragma: no cover
+            print(f"# config {name} failed: {e}", file=sys.stderr)
+            results[name] = None
+
+    flagship = results.get("flagship")
+    extras = {}
+    for name in want:
+        if name == "flagship":
+            continue
+        v = results.get(name)
+        unit = "frames/s" if name == "tracker" else "images/s"
+        extras[name] = {"value": round(v, 2) if v else None, "unit": unit,
+                        "vs_baseline": ratio(v, name)}
+    out = {
+        "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
+        "value": round(flagship, 2) if flagship else None,
         "unit": "images/s",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "vs_baseline": ratio(flagship, "flagship"),
+        "nms_budget": args.budget,
+        "mfu": round(mfu, 4) if mfu else None,
+        "extras": extras,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -136,6 +136,29 @@ def data_anchor_crop(image: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     return image[rect[1]:rect[3], rect[0]:rect[2]].copy(), out_boxes, out_labels
 
 
+def expand(image, boxes, rng, mean=(104, 117, 123)):
+    """Mean-filled canvas expansion (Expand, augmentations.py:376-399).
+
+    Inactive in the reference's PyramidAugmentation compose (497-513) but part
+    of its augmentation toolbox; provided for SSD-style training recipes.
+    Boxes are absolute pixel coords.
+    """
+    if rng.randint(2):
+        return image, boxes
+    height, width, depth = image.shape
+    ratio = rng.uniform(1, 4)
+    left = rng.uniform(0, width * ratio - width)
+    top = rng.uniform(0, height * ratio - height)
+    canvas = np.empty((int(height * ratio), int(width * ratio), depth),
+                      dtype=image.dtype)
+    canvas[:, :, :] = mean
+    canvas[int(top):int(top) + height, int(left):int(left) + width] = image
+    boxes = boxes.copy()
+    boxes[:, :2] += (int(left), int(top))
+    boxes[:, 2:] += (int(left), int(top))
+    return canvas, boxes
+
+
 def random_mirror(image, boxes, rng):
     """Horizontal flip (augmentations.py:404-411)."""
     _, width, _ = image.shape

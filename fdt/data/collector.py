@@ -15,12 +15,17 @@ from fdt.data.anno import parse_anno_file
 class EvalCollector:
     def __init__(self, anno_file: str, process_index: int | None = None,
                  process_count: int | None = None):
-        """Optional multi-host sharding: each process takes a strided slice of
-        the record list (the DCN input-sharding layer; per-host results are
-        merged by concatenating TfConfAccumulator outputs)."""
+        """Optional multi-host sharding: each process takes a CONTIGUOUS block
+        of the record list (the DCN input-sharding layer).  Blocks — not
+        strides — so that concatenating per-process dumps in process order
+        preserves the unsharded accumulation order; fdt.eval.pr.merge_dumps
+        then reproduces the single-process dump bit-exactly."""
         self.records = parse_anno_file(anno_file)
         if process_count and process_count > 1:
-            self.records = self.records[process_index::process_count]
+            n = len(self.records)
+            lo = process_index * n // process_count
+            hi = (process_index + 1) * n // process_count
+            self.records = self.records[lo:hi]
 
     def __len__(self) -> int:
         return len(self.records)

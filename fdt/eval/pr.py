@@ -62,6 +62,22 @@ class TfConfAccumulator:
         np.save(path, self.finalize())
 
 
+def merge_dumps(dumps) -> np.ndarray:
+    """Merge per-process finalized dumps into the single-process dump.
+
+    Multi-host eval shards the record list into CONTIGUOUS blocks
+    (fdt.data.EvalCollector), so concatenating the per-process detection
+    columns in process order reproduces the unsharded accumulation order
+    exactly; one re-sort and a summed GT sentinel then yield a dump
+    bit-identical to an unsharded run (tests/test_data_eval.py).
+    """
+    parts = [np.asarray(d) for d in dumps]
+    tf_conf = np.hstack([p[:, :-1] for p in parts] or [np.zeros((2, 0))])
+    truth_num = sum(p[1, -1] for p in parts)
+    order = np.argsort(tf_conf[1, :])[::-1]
+    return np.hstack((tf_conf[:, order], [[0], [truth_num]]))
+
+
 def gen_tp_fp(dump: np.ndarray):
     """Cumulative TP/FP over the sorted dump (draw_curve/draw_pr_roc.py:5-20)."""
     tf, conf = dump[0, :-1], dump[1, :-1]

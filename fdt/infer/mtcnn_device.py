@@ -147,16 +147,24 @@ def _cv2_fx_taps(src: int, dst: int, fx: float):
     return i0, i1, f
 
 
+def _interp_matrix(i0, i1, f, n_src: int) -> np.ndarray:
+    """[dst] taps/weights → dense [dst, n_src] interpolation matrix (trace-time
+    constant).  += handles the clamped i0==i1 border case (weight sums to 1)."""
+    W = np.zeros((len(i0), n_src), np.float32)
+    W[np.arange(len(i0)), i0] += 1.0 - f
+    W[np.arange(len(i1)), i1] += f
+    return W
+
+
 def _resize_level(img255, src_h: int, src_w: int, lh: int, lw: int, fx: float):
-    """cv2.resize(uint8 im, None, fx=fx) on device: exact coordinate mapping
-    via constant separable taps, then rounding to integers like the uint8
-    output the reference feeds PNet (detect.py:278-284)."""
-    y0, y1, wy = _cv2_fx_taps(src_h, lh, fx)
-    x0, x1, wx = _cv2_fx_taps(src_w, lw, fx)
-    rows = (img255[y0] * (1.0 - wy)[:, None, None]
-            + img255[y1] * wy[:, None, None])          # [lh, src_w, 3]
-    lvl = (rows[:, x0] * (1.0 - wx)[None, :, None]
-           + rows[:, x1] * wx[None, :, None])          # [lh, lw, 3]
+    """cv2.resize(uint8 im, None, fx=fx) on device as two constant-matrix
+    contractions (separable bilinear = Ry @ img @ Rxᵀ — rides the MXU instead
+    of latency-bound gathers), then rounding to integers like the uint8 output
+    the reference feeds PNet (detect.py:278-284)."""
+    ry = jnp.asarray(_interp_matrix(*_cv2_fx_taps(src_h, lh, fx), src_h))
+    rx = jnp.asarray(_interp_matrix(*_cv2_fx_taps(src_w, lw, fx), src_w))
+    rows = jnp.einsum("yh,hwc->ywc", ry, img255, precision="highest")
+    lvl = jnp.einsum("xw,ywc->yxc", rx, rows, precision="highest")
     return jnp.round(lvl)
 
 
@@ -223,6 +231,50 @@ def _crop_resize(image, h: int, w: int, x1, y1, tmpw, tmph, out_size: int):
     return top * (1 - fy) + bot * fy
 
 
+def _crop_axis_weights(orig, tmp, n_src: int, out_size: int):
+    """In-graph [K, out_size, n_src] interpolation weights for one axis of the
+    zero-extended-window crop (same sampling rule as _crop_resize): taps
+    outside the image get weight 0, replicating the reference's zero-padded
+    `tmp` canvas."""
+    u = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    g = jnp.clip(u[None, :] * (tmp[:, None] / out_size) - 0.5,
+                 0.0, jnp.maximum(tmp - 1.0, 0.0)[:, None])        # [K, S]
+    i0 = jnp.floor(g)
+    f = g - i0
+    a0 = orig[:, None] + i0                                        # image coords
+    r = jnp.arange(n_src, dtype=jnp.float32)
+    return ((r == a0[..., None]) * (1.0 - f)[..., None]
+            + (r == (a0 + 1.0)[..., None]) * f[..., None])         # [K, S, n_src]
+
+
+def _crop_resize_batch(img255, h: int, w: int, x1, y1, tmpw, tmph,
+                       out_size: int, impl: str, chunk: int = 256):
+    """[K] boxes → [K, S, S, 3] crops.
+
+    impl="matmul": separable interpolation as two MXU contractions, chunked
+    over K to bound the [chunk, S, W, 3] intermediate — ~30× faster than the
+    gather form on TPU, where per-candidate gathers are latency-bound.
+    impl="gather": the 4-tap gather form (faster on CPU backends/tests).
+    """
+    k = x1.shape[0]
+    if impl == "gather":
+        return jax.vmap(lambda a, b, c, d: _crop_resize(
+            img255, h, w, a, b, c, d, out_size))(x1, y1, tmpw, tmph)
+    chunk = min(chunk, k)
+    assert k % chunk == 0, (k, chunk)
+
+    def one(args):
+        cx1, cy1, ctw, cth = args
+        wy = _crop_axis_weights(cy1, cth, h, out_size)             # [c, S, H]
+        wx = _crop_axis_weights(cx1, ctw, w, out_size)             # [c, S, W]
+        rows = jnp.einsum("kyh,hwc->kywc", wy, img255, precision="highest")
+        return jnp.einsum("kxw,kywc->kyxc", wx, rows, precision="highest")
+
+    parts = jax.lax.map(one, tuple(a.reshape(k // chunk, chunk)
+                                   for a in (x1, y1, tmpw, tmph)))
+    return parts.reshape(k, out_size, out_size, 3)
+
+
 class MTCNNDeviceCascade:
     """Single-jit MTCNN cascade. One compile per image (h, w); fixed-size
     streams (video/webcam/tracking, bucketed eval) compile once and stay on
@@ -230,10 +282,13 @@ class MTCNNDeviceCascade:
 
     def __init__(self, pnet_vars, rnet_vars, onet_vars,
                  cfg: MTCNNConfig = MTCNN, budgets: DeviceBudgets = DeviceBudgets(),
-                 precision: str = "highest"):
+                 precision: str = "highest", crop_impl: str | None = None):
         self.cfg = cfg
         self.budgets = budgets
         self.precision = precision
+        # matmul crops ride the MXU; gathers win on CPU backends
+        self.crop_impl = crop_impl or (
+            "matmul" if jax.default_backend() == "tpu" else "gather")
         self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
         self.vars = {"pnet": pnet_vars, "rnet": rnet_vars, "onet": onet_vars}
         self._jitted = {}
@@ -287,9 +342,8 @@ class MTCNNDeviceCascade:
         r_boxes = p_align[r_sel]
         r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, h, w)
         # round like the reference's uint8 crop canvas, then /255 (ToTensor)
-        crops24 = jnp.round(jax.vmap(
-            lambda a, b, c, d: _crop_resize(img255, h, w, a, b, c, d, 24))(
-                rx1, ry1, rtw, rth)) / 255.0
+        crops24 = jnp.round(_crop_resize_batch(
+            img255, h, w, rx1, ry1, rtw, rth, 24, self.crop_impl)) / 255.0
         with jax.default_matmul_precision(self.precision):
             r_cls, r_reg = self.rnet.apply(variables["rnet"], crops24)
         r_cls = r_cls[:, 0]
@@ -308,9 +362,8 @@ class MTCNNDeviceCascade:
 
         # 6. ONet (detect.py:467-583)
         o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, h, w)
-        crops48 = jnp.round(jax.vmap(
-            lambda a, b, c, d: _crop_resize(img255, h, w, a, b, c, d, 48))(
-                ox1, oy1, otw, oth)) / 255.0
+        crops48 = jnp.round(_crop_resize_batch(
+            img255, h, w, ox1, oy1, otw, oth, 48, self.crop_impl)) / 255.0
         with jax.default_matmul_precision(self.precision):
             o_cls, o_reg, o_lm = self.onet.apply(variables["onet"], crops48)
         o_cls = o_cls[:, 0]

@@ -68,3 +68,49 @@ def test_annotation_transform_quirks():
     assert res.shape == (2, 5)
     np.testing.assert_allclose(res[0, :4], [0.06, 0.2, 0.1, 0.3], atol=1e-6)
     np.testing.assert_allclose(res[1, :4], [0.1, 0.2, 0.14, 0.3], atol=1e-6)
+
+
+def test_expand_matches_reference(rng):
+    """expand() == reference Expand under the same RNG draws (augmentations.py:376-399)."""
+    from fdt.data.augment import expand
+
+    image = (rng.rand(40, 60, 3) * 255).astype(np.float32)
+    boxes = np.array([[5.0, 5.0, 20.0, 30.0], [10.0, 8.0, 50.0, 35.0]])
+    # reference draws: randint(2) gate, uniform ratio, uniform left/top
+    r1 = np.random.RandomState(3)
+    got_img, got_boxes = expand(image, boxes, np.random.RandomState(3))
+    if r1.randint(2):
+        want_img, want_boxes = image, boxes
+    else:
+        h, w, d = image.shape
+        ratio = r1.uniform(1, 4)
+        left = r1.uniform(0, w * ratio - w)
+        top = r1.uniform(0, h * ratio - h)
+        want_img = np.zeros((int(h * ratio), int(w * ratio), d), image.dtype)
+        want_img[:, :, :] = (104, 117, 123)
+        want_img[int(top):int(top + h), int(left):int(left + w)] = image
+        want_boxes = boxes.copy()
+        want_boxes[:, :2] += (int(left), int(top))
+        want_boxes[:, 2:] += (int(left), int(top))
+    np.testing.assert_array_equal(got_img, want_img)
+    np.testing.assert_array_equal(got_boxes, want_boxes)
+
+
+def test_debug_visualizers(tmp_path, rng):
+    """Headless overlays render and save (vision.py + encoderl.test_encode ports)."""
+    from fdt.utils.visualize import draw_matched_anchors, vis_face, vis_two
+
+    im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    dets = np.array([[4, 4, 30, 30, 0.95], [10, 10, 40, 40, 0.5]], np.float32)
+    vis_two(im, dets, dets, save_path=str(tmp_path / "two.png"))
+    lm = rng.rand(1, 10).astype(np.float32) * 60
+    vis_face(im, dets[:1], lm, save_path=str(tmp_path / "face.png"))
+    assert (tmp_path / "two.png").exists() and (tmp_path / "face.png").exists()
+
+    imgs = draw_matched_anchors(np.zeros((128, 128, 3), np.uint8),
+                                np.array([[0.2, 0.2, 0.5, 0.5]]),
+                                save_prefix=str(tmp_path / "enc"))
+    assert len(imgs) == 3
+    assert (tmp_path / "enc_0.jpg").exists()
+    # the matched-anchor group must actually mark some anchors green
+    assert any((im[:, :, 1] == 255).any() for im in imgs)

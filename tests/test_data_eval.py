@@ -79,3 +79,51 @@ def test_accumulator_dump_layout():
     np.testing.assert_allclose(precision, [0, 0.5])
     fp, rec = roc_curve(dump)
     np.testing.assert_allclose(fp, [1, 1])
+
+
+def test_merge_dumps_equals_single_process(rng):
+    """8 contiguous process slices merged == one unsharded accumulation,
+    bit-exact (the multi-host eval contract, fdt/eval/pr.py merge_dumps)."""
+    from fdt.eval.pr import merge_dumps
+
+    n_images = 37
+    preds, truths = [], []
+    for _ in range(n_images):
+        n = rng.randint(0, 6)
+        preds.append(np.column_stack([rng.rand(n, 2) * 50, 50 + rng.rand(n, 2) * 50,
+                                      np.round(rng.rand(n, 1), 2)]))  # ties likely
+        m = rng.randint(1, 4)
+        truths.append(np.column_stack([rng.rand(m, 2) * 80,
+                                       10 + rng.rand(m, 2) * 40]).astype(np.int32))
+
+    single = TfConfAccumulator()
+    for p, t in zip(preds, truths):
+        single.add(p, t)
+    want = single.finalize()
+
+    n_proc = 8
+    dumps = []
+    for pi in range(n_proc):
+        lo, hi = pi * n_images // n_proc, (pi + 1) * n_images // n_proc
+        acc = TfConfAccumulator()
+        for p, t in zip(preds[lo:hi], truths[lo:hi]):
+            acc.add(p, t)
+        dumps.append(acc.finalize())
+    got = merge_dumps(dumps)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eval_collector_block_slices_cover(tmp_path):
+    """Process block slices partition the record list exactly once."""
+    from fdt.data import EvalCollector
+
+    anno = tmp_path / "anno.txt"
+    lines = [f"img_{i}.jpg 1 0 0 10 10" for i in range(11)]
+    anno.write_text("\n".join(lines) + "\n")
+    full = EvalCollector(str(anno))
+    paths = [r.path for r in full.records]
+    sliced = []
+    for pi in range(4):
+        c = EvalCollector(str(anno), process_index=pi, process_count=4)
+        sliced += [r.path for r in c.records]
+    assert sliced == paths
