@@ -120,7 +120,7 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
 @functools.partial(jax.jit, static_argnames=("budget", "out_k", "mode", "impl"))
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                budget: int, out_k: int, mode: str = "union",
-               valid: jnp.ndarray | None = None, impl: str = "xla"):
+               valid: jnp.ndarray | None = None, impl: str = "auto"):
     """Greedy NMS with fixed-size output.
 
     Args:
@@ -132,6 +132,12 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
       out_k:  static — detections returned (reference `top_k`=750).
       mode:   "union" | "minimum".
       valid:  optional [N] bool mask.
+      impl:   "xla" | "pallas" | "pallas_tiled" | "auto".  "auto" picks the
+        tiled Pallas kernel on TPU for budgets ≥ 2048 and the XLA fixpoint
+        otherwise — the crossover measured on v5e across clustered/dense
+        score distributions (2026-08): at budget 5000 the tiled kernel runs
+        ~1.4ms vs 2.0ms XLA vs 3.1ms per-box Pallas; at 1024 all are within
+        ~0.2ms of each other.  All three produce identical keep-sets.
 
     Returns:
       keep_idx: [out_k] int32 indices into the input arrays, in descending-score
@@ -142,12 +148,22 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
     k = min(budget, n)
+    if impl == "auto":
+        # where will this run? an explicitly pinned default device wins over
+        # the default backend (test envs pin CPU while a TPU plugin is present)
+        pinned = jax.config.jax_default_device
+        platform = (pinned.platform if pinned is not None
+                    else jax.default_backend())
+        impl = "pallas_tiled" if platform == "tpu" and k >= 2048 else "xla"
     top_scores, order = jax.lax.top_k(scores, k)
     top_boxes = boxes[order]
     top_valid = top_scores > -jnp.inf
     if impl == "pallas":
         from fdt.ops.pallas_nms import pallas_nms_keep
         keep = pallas_nms_keep(top_boxes, top_valid, iou_thresh, mode=mode)
+    elif impl == "pallas_tiled":
+        from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+        keep = pallas_nms_keep_tiled(top_boxes, top_valid, iou_thresh, mode=mode)
     else:
         keep = nms_keep_mask(top_boxes, top_valid, iou_thresh, mode=mode)
     # Stable-compact kept entries to the front (they are already score-ordered).

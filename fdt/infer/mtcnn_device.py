@@ -286,9 +286,12 @@ class MTCNNDeviceCascade:
         self.cfg = cfg
         self.budgets = budgets
         self.precision = precision
-        # matmul crops ride the MXU; gathers win on CPU backends
-        self.crop_impl = crop_impl or (
-            "matmul" if jax.default_backend() == "tpu" else "gather")
+        # matmul crops ride the MXU; gathers win on CPU backends.  A pinned
+        # default device wins over the default backend (test envs pin CPU
+        # while a TPU plugin is present).
+        pinned = jax.config.jax_default_device
+        platform = pinned.platform if pinned is not None else jax.default_backend()
+        self.crop_impl = crop_impl or ("matmul" if platform == "tpu" else "gather")
         self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
         self.vars = {"pnet": pnet_vars, "rnet": rnet_vars, "onet": onet_vars}
         self._jitted = {}

@@ -35,3 +35,37 @@ def test_pallas_nms_respects_valid():
     got = np.asarray(pallas_nms_keep(boxes, jnp.array([False, True]), 0.5,
                                      interpret=True))
     np.testing.assert_array_equal(got, [False, True])
+
+
+@pytest.mark.parametrize("mode", ["union", "minimum"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_nms_tiled_matches_oracle(mode, seed):
+    from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+
+    rng = np.random.RandomState(seed)
+    n = 300  # > 2 tiles, non-multiple of 128 (exercises padding)
+    centers = rng.rand(n, 2) * 4
+    wh = rng.rand(n, 2) * 2 + 0.5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    sorted_boxes = boxes[order]
+
+    want_keep_sorted = np.zeros(n, bool)
+    keep_orig = np_greedy_nms(boxes, scores, 0.5, mode)
+    inv = np.argsort(order)
+    want_keep_sorted[inv[keep_orig]] = True
+
+    got = np.asarray(pallas_nms_keep_tiled(jnp.asarray(sorted_boxes),
+                                           jnp.ones(n, bool), 0.5, mode=mode,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, want_keep_sorted)
+
+
+def test_pallas_nms_tiled_respects_valid():
+    from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+
+    boxes = jnp.asarray(np.array([[0, 0, 1, 1], [0, 0, 1, 1]], np.float32))
+    got = np.asarray(pallas_nms_keep_tiled(boxes, jnp.array([False, True]), 0.5,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, [False, True])
