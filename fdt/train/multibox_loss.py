@@ -52,6 +52,16 @@ def multibox_loss(loc_data: jnp.ndarray, conf_data: jnp.ndarray, priors: jnp.nda
     match = match_ensure_max_prior_batch if cfg.bipartite else match_default_batch
     loc_t, conf_t = match(cfg.overlap_thresh, gt_boxes, gt_labels, gt_valid,
                           priors, cfg.variances)
+    return multibox_loss_from_targets(loc_data, conf_data, loc_t, conf_t,
+                                      cfg.negpos_ratio)
+
+
+def multibox_loss_from_targets(loc_data, conf_data, loc_t, conf_t,
+                               negpos_ratio: int = 3):
+    """The loss tail for already-encoded targets (loc_t [B,P,4], conf_t [B,P]
+    int class ids) — shared by the SSD matcher path above and trainers whose
+    encoders produce targets directly (FaceBoxes densified encoder)."""
+    b, p, c = conf_data.shape
     loc_t = jax.lax.stop_gradient(loc_t)
     conf_t = jax.lax.stop_gradient(conf_t)
 
@@ -72,7 +82,7 @@ def multibox_loss(loc_data: jnp.ndarray, conf_data: jnp.ndarray, priors: jnp.nda
     order = jnp.argsort(-ce_rank, axis=1)
     rank = jnp.argsort(order, axis=1)
     num_pos = jnp.sum(pos, axis=1, keepdims=True)        # [B, 1]
-    num_neg = jnp.clip(cfg.negpos_ratio * num_pos, max=p - 1)
+    num_neg = jnp.clip(negpos_ratio * num_pos, max=p - 1)
     neg = rank < num_neg
 
     sel = pos | neg
