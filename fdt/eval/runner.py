@@ -34,9 +34,15 @@ def _draw(image, target_xywh, predict, out_path):  # pragma: no cover
 
 def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
          skip_ids: Sequence[int] = (), display_dir: str | None = None,
-         progress: bool = True, limit: int | None = None) -> np.ndarray:
+         display: bool = False, snapshot_dir: str = ".",
+         snapshot_prefix: str = "eval", progress: bool = True,
+         limit: int | None = None) -> np.ndarray:
+    """display=True opens the reference's live GT-green/pred-red window with
+    the 's'-key snapshot writer (My_test.py:144-161); display_dir writes the
+    same overlay per image headlessly instead."""
     acc = TfConfAccumulator(iou_thresh)
     dataset = EvalCollector(anno_file)
+    img_cnt = 0
     for image, target, img_id in dataset:
         if img_id in skip_ids:
             continue
@@ -48,6 +54,24 @@ def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
         if display_dir:
             _draw(image, target, predict,
                   os.path.join(display_dir, f"{img_id}.jpg"))
+        if display:  # pragma: no cover — needs a display server
+            import cv2
+            shown = image.copy()
+            for box in target:
+                cv2.rectangle(shown, (box[0], box[1]),
+                              (box[0] + box[2], box[1] + box[3]), (0, 255, 0), 1)
+            for box in predict:
+                b = box[:4].astype(np.int32)
+                cv2.rectangle(shown, (b[0], b[1]), (b[2], b[3]), (0, 0, 255), 1)
+                cv2.putText(shown, f"{box[4]:.3f}", (b[0], b[1] - 2),
+                            cv2.FONT_HERSHEY_PLAIN, 0.7, (0, 0, 255), 1)
+            cv2.imshow("1", shown)
+            if cv2.waitKey(1000) == ord("s"):
+                path = os.path.join(snapshot_dir,
+                                    f"{snapshot_prefix}_{img_cnt}.jpg")
+                cv2.imwrite(path, shown)
+                print(f"image saved in {snapshot_dir}")
+                img_cnt += 1
         acc.add(predict, target)
     dump = acc.finalize()
     if dump_path:

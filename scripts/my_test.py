@@ -24,14 +24,21 @@ def main():
     ap.add_argument("--anno", default="./image_and_anno/anno/gen_anno_file_val")
     ap.add_argument("--data_save_folder", default="./draw_curve/data/")
     ap.add_argument("--display_dir", default=None,
-                    help="write annotated images here instead of cv2.imshow")
+                    help="write annotated images here (headless)")
+    ap.add_argument("--display", action="store_true",
+                    help="live GT/pred window; 's' saves a snapshot "
+                         "(My_test.py:144-161)")
+    ap.add_argument("--img_save_folder", default="./image_and_anno/test_image/")
     ap.add_argument("--limit", default=None, type=int)
     args = ap.parse_args()
 
     det = load_pyramidbox_detector(args.net, args.weights)
     dump = eval_pyramidbox(det, args.anno, args.threshold,
                            dump_path=f"{args.data_save_folder}/data_of_{args.net}.npy",
-                           display_dir=args.display_dir, limit=args.limit)
+                           display_dir=args.display_dir, display=args.display,
+                           snapshot_dir=args.img_save_folder,
+                           snapshot_prefix=f"{args.net}_thresh_{args.threshold}",
+                           limit=args.limit)
     from fdt.eval.pr import average_precision
     print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
           f"AP: {average_precision(dump):.4f}")
