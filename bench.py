@@ -27,11 +27,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-
 import numpy as np
+
+# NOTE: no persistent compilation cache.  The env-var config
+# (JAX_COMPILATION_CACHE_DIR) never took effect in this environment — jax is
+# pre-imported at interpreter start, so env vars set by this script are never
+# read — and enabling it via jax.config.update is hazardous for CPU-backend
+# executables (XLA:CPU AOT reload trips a CPU-feature mismatch that can hang).
+# TPU compiles here are ~20-40s each and run once per bench invocation.
 
 CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
 SAMPLE_IMG = "/root/reference/image_and_anno/test_image/try1/try1_thresh_0.39_13.jpg"

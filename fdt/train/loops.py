@@ -69,6 +69,30 @@ def xavier_init_variables(variables, rng):
     return jax.tree_util.tree_map_with_path(init_leaf, variables)
 
 
+def materialize_variables(shapes, rng):
+    """Build variables directly from a jax.eval_shape variable tree.
+
+    Same deterministic rules as xavier_init_variables (kernel → path-keyed
+    xavier uniform, bias → 0, scale → 1) plus flax BatchNorm's collection
+    defaults (mean → 0, var → 1); any other leaf → 0.  Skips the forward-pass
+    compile that Module.init needs, so state construction is trace-free."""
+
+    def make_leaf(path, leaf):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if name == "kernel" and len(leaf.shape) == 4:
+            kh, kw, i, o = leaf.shape
+            fan_in, fan_out = i * kh * kw, o * kh * kw
+            bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+            key = jax.random.fold_in(
+                rng, zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x7FFFFFFF)
+            return jax.random.uniform(key, leaf.shape, leaf.dtype, -bound, bound)
+        if name in ("scale", "var"):
+            return jnp.ones(leaf.shape, leaf.dtype)
+        return jnp.zeros(leaf.shape, leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(make_leaf, shapes)
+
+
 def pad_targets(targets: Sequence[np.ndarray], max_gt: int | None = None):
     """List of per-image [n,5] arrays ([x1,y1,x2,y2,label], normalized) →
     (gt_boxes [B,G,4] f32, gt_labels [B,G] i32, gt_valid [B,G] bool).
@@ -123,11 +147,27 @@ class PyramidTrainer:
         self.train_step = jax.jit(self._train_step, donate_argnums=(0,),
                                   static_argnames=("freeze",))
 
-    def init_state(self, rng, xavier: bool = True) -> TrainState:
-        variables = self.model.init(rng, jnp.zeros((1, self.input_size,
-                                                    self.input_size, 3)))
-        if xavier:
-            variables = xavier_init_variables(variables, rng)
+    def init_state(self, rng, xavier: bool = True,
+                   abstract: bool = False) -> TrainState:
+        """Fresh train state.
+
+        abstract=True materializes the variables from a shape-only trace
+        (jax.eval_shape) instead of compiling and running the forward pass —
+        seconds instead of minutes on slow hosts.  Produces bit-identical
+        variables to the xavier path because every PyramidBox leaf is covered
+        by the same deterministic rules (xavier kernels keyed by crc32 of the
+        param path; bias 0 / scale 1 / BN mean 0, var 1 — exactly flax's and
+        MyTrain_repo.py:79-96's values)."""
+        if abstract:
+            shapes = jax.eval_shape(
+                self.model.init, rng,
+                jnp.zeros((1, self.input_size, self.input_size, 3)))
+            variables = materialize_variables(shapes, rng)
+        else:
+            variables = self.model.init(rng, jnp.zeros((1, self.input_size,
+                                                        self.input_size, 3)))
+            if xavier:
+                variables = xavier_init_variables(variables, rng)
         params = variables["params"]
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           batch_stats=variables["batch_stats"],

@@ -11,11 +11,6 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent XLA compilation cache: repeat test runs skip recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import pathlib
 import sys
@@ -36,6 +31,13 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:  # pragma: no cover
     pass
+
+# NOTE: no persistent compilation cache for the (CPU-backend) test suite.
+# Env-var cache config never took effect here anyway (this environment
+# pre-imports jax at interpreter start, so JAX_COMPILATION_CACHE_DIR set in
+# this file is never read), and enabling it via jax.config.update is actively
+# harmful on this machine: reloading XLA:CPU AOT executables trips a
+# CPU-feature mismatch ("+prefer-no-gather ... SIGILL") that can hang tests.
 
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 

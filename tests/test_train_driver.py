@@ -119,3 +119,14 @@ def test_xavier_init_deterministic_across_processes():
         return r.stdout.strip().splitlines()[-1]
 
     assert digest("1") == digest("2")
+
+
+def test_abstract_init_matches_compiled_init(_tiny_trainer_base):
+    """init_state(abstract=True) must produce bit-identical variables to the
+    compiled Module.init + xavier path (it is what dryrun_multichip uses)."""
+    trainer, host_state = _tiny_trainer_base
+    fast = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.device_get(fast.params), host_state.params)
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.device_get(fast.batch_stats), host_state.batch_stats)
