@@ -79,7 +79,8 @@ def _overlap_matrix(boxes: jnp.ndarray, mode: str) -> jnp.ndarray:
 
 def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
                   mode: str = "union",
-                  seg_id: jnp.ndarray | None = None) -> jnp.ndarray:
+                  seg_id: jnp.ndarray | None = None,
+                  impl: str = "xla") -> jnp.ndarray:
     """Greedy-NMS keep mask over boxes already sorted by descending score.
 
     Args:
@@ -92,10 +93,23 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
       seg_id: optional [N] int segment ids; suppression then only acts within
         a segment, computing every segment's independent greedy NMS in one
         fixpoint (used for MTCNN's per-pyramid-level NMS, detect.py:314).
+      impl: "xla" | "pallas_tiled" | "auto".  The XLA fixpoint re-reads the
+        [N,N] suppression matrix from HBM every sweep; the tiled Pallas kernel
+        streams it through VMEM once, winning for large N on TPU ("auto"
+        picks it there for N ≥ 2048, same crossover as nms_padded).
 
     Returns: [N] bool keep mask (subset of `valid`).
     """
     n = boxes.shape[0]
+    if impl == "auto":
+        pinned = jax.config.jax_default_device
+        platform = (pinned.platform if pinned is not None
+                    else jax.default_backend())
+        impl = "pallas_tiled" if platform == "tpu" and n >= 2048 else "xla"
+    if impl == "pallas_tiled":
+        from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+        return pallas_nms_keep_tiled(boxes, valid, iou_thresh, mode=mode,
+                                     seg_id=seg_id)
     ov = _overlap_matrix(boxes, mode)
     idx = jnp.arange(n)
     # S[j, i]: an earlier (higher-score) valid box j suppresses i.

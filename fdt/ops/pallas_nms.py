@@ -67,59 +67,71 @@ def _nms_kernel(boxes_t_ref, valid_ref, thresh_ref, keep_ref, *, mode: str):
 
 
 def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
-                      keep_ref, keep_row_ref, *, mode: str):
+                      keep_ref, *, mode: str):
     """Tiled greedy NMS: 128 boxes per step, matmul-form recurrences.
 
-    Per tile (all in lane form — no transposes anywhere):
-      1. ovr_t [N, 128]: overlap of ALL boxes (sublane axis, from the [N,4]
-         copy) against the tile's boxes (lane axis, from the [4,N] copy).
-      2. suppressed-by-earlier row [1,128] = keep_row [1,N] @ (ovr_t ≥ τ) —
-         one MXU matmul; keep_ref starts all-zero so unprocessed tiles
-         contribute nothing.
-      3. within-tile greedy fixpoint on the [128,128] sub-block, each sweep a
+    Per tile ti (all in lane form — no transposes anywhere):
+      1. suppressed-by-earlier row [1,128]: a fori_loop over the already-
+         finalized tiles tj < ti accumulates keep[tj] @ sup(tj→ti), each a
+         [1,128]·[128,128] MXU matmul over a block computed on the fly.  The
+         fori_loop (vs an unrolled sweep over the whole [N,128] strip) keeps
+         only one [128,128] block of temporaries live, so scoped VMEM stays
+         bounded for any N.
+      2. within-tile greedy fixpoint on the [128,128] sub-block, each sweep a
          [1,128] @ [128,128] matmul (same recurrence as nms_keep_mask).
-      4. write the finalized [1,128] tile segment of keep_ref.
+      3. write the finalized [1,128] tile segment of keep_ref.
 
-    The VPU cost is one pass over the [N,128] block per tile (vs ~18 [1,N]
-    passes per BOX in the per-box kernel), and the sequential dependency is
-    per-tile, not per-box.
+    Column 4 of the box buffers is a segment id: suppression only acts within
+    equal ids, solving every segment's independent greedy NMS in one pass
+    (MTCNN's per-pyramid-level NMS); pass a constant column for plain NMS.
     """
     n = boxes_s_ref.shape[0]
     tiles = n // _LANES
     thresh = thresh_ref[0, 0]
-    x1s = boxes_s_ref[:, 0:1]
-    y1s = boxes_s_ref[:, 1:2]
-    x2s = boxes_s_ref[:, 2:3]
-    y2s = boxes_s_ref[:, 3:4]
-    area_s = (x2s - x1s) * (y2s - y1s)                 # [N, 1]
-    keep_row_ref[:, :] = jnp.zeros_like(keep_row_ref)
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
 
-    for ti in range(tiles):
-        sl = slice(ti * _LANES, (ti + 1) * _LANES)
-        # tile coords enter pre-sliced at lane offset 0 ([1,128] rows of a
-        # [4T,128] buffer): Mosaic cannot broadcast a lane-OFFSET row vector
-        # across sublanes
-        tx1 = tiles_ref[4 * ti + 0: 4 * ti + 1, :]
-        ty1 = tiles_ref[4 * ti + 1: 4 * ti + 2, :]
-        tx2 = tiles_ref[4 * ti + 2: 4 * ti + 3, :]
-        ty2 = tiles_ref[4 * ti + 3: 4 * ti + 4, :]
+    def sup_block(row0, tx1, ty1, tx2, ty2, seg_t, t_area):
+        """[128,128] suppression block: rows row0..row0+127 vs the tile."""
+        rows = pl.ds(row0, _LANES)
+        x1s = boxes_s_ref[rows, 0:1]
+        y1s = boxes_s_ref[rows, 1:2]
+        x2s = boxes_s_ref[rows, 2:3]
+        y2s = boxes_s_ref[rows, 3:4]
+        seg_s = boxes_s_ref[rows, 4:5]
+        area_s = (x2s - x1s) * (y2s - y1s)
         iw = jnp.maximum(jnp.minimum(x2s, tx2) - jnp.maximum(x1s, tx1), 0.0)
         ih = jnp.maximum(jnp.minimum(y2s, ty2) - jnp.maximum(y1s, ty1), 0.0)
-        inter = iw * ih                                # [N, 128]
-        t_area = (tx2 - tx1) * (ty2 - ty1)             # [1, 128]
+        inter = iw * ih                                # [128, 128]
         if mode == "union":
             denom = area_s + t_area - inter
         else:  # "minimum"
             denom = jnp.minimum(area_s, t_area)
-        sup = ((inter / denom) >= thresh).astype(jnp.float32)   # [N, 128]
+        return (((inter / denom) >= thresh)
+                & (seg_s == seg_t)).astype(jnp.float32)
 
-        eprev = jax.lax.dot(keep_row_ref[:, :], sup,
-                            preferred_element_type=jnp.float32)  # [1, 128]
-        s_tile = sup[sl, :] * (subl < lane2)           # [128,128] j-suppresses-k
-        valid_t = valid_ref[ti: ti + 1, :]
+    def tile_body(ti, _):
+        # tile coords enter pre-sliced at lane offset 0 ([5,128] block of a
+        # [5T,128] buffer): Mosaic cannot broadcast a lane-OFFSET row vector
+        # across sublanes
+        tc = tiles_ref[pl.ds(5 * ti, 5), :]
+        tx1, ty1 = tc[0:1, :], tc[1:2, :]
+        tx2, ty2 = tc[2:3, :], tc[3:4, :]
+        seg_t = tc[4:5, :]
+        t_area = (tx2 - tx1) * (ty2 - ty1)             # [1, 128]
+
+        def acc(tj, eprev):
+            sup_c = sup_block(tj * _LANES, tx1, ty1, tx2, ty2, seg_t, t_area)
+            kr = keep_ref[pl.ds(tj, 1), :]             # [1, 128], finalized
+            return eprev + jax.lax.dot(kr, sup_c,
+                                       preferred_element_type=jnp.float32)
+
+        eprev = jax.lax.fori_loop(0, ti, acc, jnp.zeros((1, _LANES),
+                                                        jnp.float32))
+        s_tile = (sup_block(ti * _LANES, tx1, ty1, tx2, ty2, seg_t, t_area)
+                  * (subl < lane2))                    # [128,128] j-suppresses-k
+        valid_t = valid_ref[pl.ds(ti, 1), :]
         keep0 = valid_t * (1.0 - jnp.minimum(eprev, 1.0))
 
         def cond(state):
@@ -135,22 +147,33 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
 
         keep_t, _, _ = jax.lax.while_loop(
             cond, body, (keep0, 1.0 - keep0, jnp.int32(0)))
-        keep_ref[ti: ti + 1, :] = keep_t
-        keep_row_ref[:, sl] = keep_t
+        keep_ref[pl.ds(ti, 1), :] = keep_t
+        return 0
+
+    jax.lax.fori_loop(0, tiles, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def pallas_nms_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
-                          mode: str = "union",
+                          mode: str = "union", seg_id: jnp.ndarray | None = None,
                           interpret: bool = False) -> jnp.ndarray:
-    """Tiled-kernel greedy-NMS keep mask (same contract as pallas_nms_keep)."""
+    """Tiled-kernel greedy-NMS keep mask (same contract as pallas_nms_keep).
+
+    seg_id: optional [N] int segment ids — suppression only acts within a
+    segment (every segment's greedy NMS solved in one pass, matching
+    nms_keep_mask's seg_id semantics)."""
     n = boxes.shape[0]
     n_pad = ((n + _LANES - 1) // _LANES) * _LANES
     t = n_pad // _LANES
     boxes_f = boxes.astype(jnp.float32)
-    boxes_s = jnp.zeros((n_pad, 4), jnp.float32).at[:n, :].set(boxes_f)
-    # [4T, 128]: tile ti's x1/y1/x2/y2 rows at 4ti..4ti+3 (lane offset 0)
-    tiles_in = boxes_s.reshape(t, _LANES, 4).transpose(0, 2, 1).reshape(4 * t,
+    seg = (jnp.zeros((n,), jnp.float32) if seg_id is None
+           else seg_id.astype(jnp.float32))
+    # column 4 carries the segment id; padding rows get segment -2 (never
+    # matches a real segment, and they are invalid anyway)
+    boxes_s = jnp.full((n_pad, 5), -2.0, jnp.float32)
+    boxes_s = boxes_s.at[:n, :4].set(boxes_f).at[:n, 4].set(seg)
+    # [5T, 128]: tile ti's x1/y1/x2/y2/seg rows at 5ti..5ti+4 (lane offset 0)
+    tiles_in = boxes_s.reshape(t, _LANES, 5).transpose(0, 2, 1).reshape(5 * t,
                                                                         _LANES)
     valid_tiles = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
         valid.astype(jnp.float32)).reshape(t, _LANES)
@@ -166,7 +189,6 @@ def pallas_nms_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
         interpret=interpret,
     )(boxes_s, tiles_in, valid_tiles, thresh)
     return keep.reshape(-1)[:n] > 0.5

@@ -9,6 +9,8 @@ images and asserted with margin.
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from fdt.infer.mtcnn import load_mtcnn_detector
 from fdt.infer.mtcnn_device import MTCNNDeviceCascade, build_plan
 
@@ -131,3 +133,39 @@ def test_device_batch_consistent(device_detector, test_image):
     assert counts[0] == len(single_boxes)
     np.testing.assert_allclose(boxes[0, :counts[0]], single_boxes,
                                rtol=1e-5, atol=1e-4)
+
+
+def test_pnet_s2d_matches_direct(device_detector):
+    """Space-to-depth PNet (the TPU fast path) is numerically the direct
+    conv stack: same taps, phase-packed into MXU-shaped matmuls."""
+    from fdt.infer.mtcnn_device import _pnet_s2d
+    from fdt.models.mtcnn import PNet
+
+    pnet = PNet()
+    rng = np.random.RandomState(0)
+    for h, w in [(61, 83), (96, 64)]:
+        x = rng.rand(h, w, 3).astype(np.float32)
+        cls_d, reg_d = pnet.apply(device_detector.vars["pnet"],
+                                  jnp.asarray(x)[None])
+        cls_s, reg_s = _pnet_s2d(device_detector.vars["pnet"],
+                                 jnp.asarray(x), "highest")
+        np.testing.assert_allclose(np.asarray(cls_s),
+                                   np.asarray(cls_d[0, :, :, 0]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(reg_s), np.asarray(reg_d[0]),
+                                   atol=2e-6)
+
+
+def test_cascade_s2d_impl_matches_direct(device_detector, test_image):
+    """Full cascade with pnet_impl='s2d' reproduces the direct-conv cascade."""
+    from fdt.infer.mtcnn_device import MTCNNDeviceCascade
+
+    s2d = MTCNNDeviceCascade(device_detector.vars["pnet"],
+                             device_detector.vars["rnet"],
+                             device_detector.vars["onet"],
+                             device_detector.cfg, pnet_impl="s2d",
+                             crop_impl=device_detector.crop_impl)
+    b_ref, lm_ref = device_detector.detect_face(test_image)
+    b_s2d, lm_s2d = s2d.detect_face(test_image)
+    assert len(b_ref) == len(b_s2d)
+    np.testing.assert_allclose(b_s2d, b_ref, atol=1e-3)
+    np.testing.assert_allclose(lm_s2d, lm_ref, atol=1e-3)

@@ -69,3 +69,24 @@ def test_pallas_nms_tiled_respects_valid():
     got = np.asarray(pallas_nms_keep_tiled(boxes, jnp.array([False, True]), 0.5,
                                            interpret=True))
     np.testing.assert_array_equal(got, [False, True])
+
+
+@pytest.mark.parametrize("mode", ["union", "minimum"])
+@pytest.mark.parametrize("n", [300, 4500])
+def test_pallas_nms_tiled_segmented(mode, n):
+    """seg_id: suppression confined to segments, matching nms_keep_mask —
+    the MTCNN per-level NMS path (detect.py:314)."""
+    from fdt.geometry.nms import nms_keep_mask
+    from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+
+    rng = np.random.RandomState(3)
+    centers = rng.rand(n, 2) * 6
+    wh = rng.rand(n, 2) * 2 + 0.5
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                       1).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+    seg = jnp.asarray((rng.rand(n) * 7).astype(np.int32))
+    want = np.asarray(nms_keep_mask(boxes, valid, 0.4, mode=mode, seg_id=seg))
+    got = np.asarray(pallas_nms_keep_tiled(boxes, valid, 0.4, mode=mode,
+                                           seg_id=seg, interpret=True))
+    np.testing.assert_array_equal(got, want)
