@@ -19,6 +19,49 @@ from fdt.config import FACEBOX, FaceBoxConfig
 from fdt.geometry import decode
 from fdt.geometry.nms import nms_padded
 from fdt.models.facebox import FaceBox
+from fdt.ops.s2d import (conv_valid_batched, pad_cells, space_to_depth,
+                         strided_s2d_kernel)
+
+
+def _stem_s2d(variables, x, precision):
+    """FaceBox RDCL stem with space-to-depth strided convs (same params).
+
+    conv1 (7×7/4, 3→24 over 1024²) and conv2 (5×5/2, 48→64) run at ~1% MXU
+    utilization as direct convs (channel dims pad to 128 lanes); packing the
+    stride's spatial phases into channels turns them into K=192 / K=768
+    contractions at 1/16 and 1/4 the spatial extent.  Exact rearrangement —
+    same taps and products as FaceBox.rdcl (bounded by tests/test_facebox.py).
+    """
+    p, bs = variables["params"], variables["batch_stats"]
+
+    def bn(y, name):
+        g, b = p[name]["scale"], p[name]["bias"]
+        mu, var = bs[name]["mean"], bs[name]["var"]
+        return g * (y - mu) * jax.lax.rsqrt(var + 1e-5) + b
+
+    def crelu(y):
+        return jax.nn.relu(jnp.concatenate([y, -y], axis=-1))
+
+    def pool(y):
+        import flax.linen as nn
+        return nn.max_pool(y, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = (h + 6 - 7) // 4 + 1, (w + 6 - 7) // 4 + 1
+    y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))     # conv1's own padding
+    y = space_to_depth(pad_cells(y, 4), 4)
+    y = conv_valid_batched(y, strided_s2d_kernel(p["conv1"]["kernel"], 4),
+                           precision)[:, :oh, :ow] + p["conv1"]["bias"]
+    y = pool(crelu(bn(y, "bn1")))
+
+    h2, w2 = y.shape[1], y.shape[2]
+    oh2, ow2 = (h2 + 4 - 5) // 2 + 1, (w2 + 4 - 5) // 2 + 1
+    y = jnp.pad(y, ((0, 0), (2, 2), (2, 2), (0, 0)))     # conv2's own padding
+    y = space_to_depth(pad_cells(y, 2), 2)
+    y = conv_valid_batched(y, strided_s2d_kernel(p["conv2"]["kernel"], 2),
+                           precision)[:, :oh2, :ow2] + p["conv2"]["bias"]
+    return pool(crelu(bn(y, "bn2")))
 
 
 class FaceBoxDetector:
@@ -26,13 +69,26 @@ class FaceBoxDetector:
 
     def __init__(self, variables, cfg: FaceBoxConfig = FACEBOX,
                  budget: int = 2048, out_k: int = 750, dtype=None,
-                 precision: str = "highest"):
+                 precision: str = "highest", stem_impl: str | None = None):
         self.cfg = cfg
         self.model = FaceBox(dtype=dtype)
-        self.variables = variables
+        # stage params on device ONCE: torch-converted checkpoints arrive as
+        # host numpy, and passing those to a jitted call re-uploads ~4MB per
+        # step — which over this environment's slow PCIe-tunnel measured 6x
+        # slower than the conv graph itself
+        self.variables = jax.device_put(variables)
         self.budget = budget
         self.out_k = out_k
         self.precision = precision
+        # space-to-depth stem rides the MXU; the direct convs win on CPU.
+        # A pinned default device wins over the default backend (test envs
+        # pin CPU while a TPU plugin is present).
+        if stem_impl is None:
+            pinned = jax.config.jax_default_device
+            platform = (pinned.platform if pinned is not None
+                        else jax.default_backend())
+            stem_impl = "s2d" if platform == "tpu" and dtype is None else "direct"
+        self.stem_impl = stem_impl
         self._default_boxes = jnp.asarray(facebox_default_boxes(cfg))
         self._detect = jax.jit(self._detect_impl)
 
@@ -41,7 +97,11 @@ class FaceBoxDetector:
         scores [B,K], count [B])."""
         x = images_u8.astype(jnp.float32) / 255.0
         with jax.default_matmul_precision(self.precision):
-            loc, conf = self.model.apply(variables, x)
+            if self.stem_impl == "s2d":
+                feats = _stem_s2d(variables, x, self.precision)
+                loc, conf = self.model.apply(variables, feats, method="mscl")
+            else:
+                loc, conf = self.model.apply(variables, x)
         probs = jax.nn.softmax(conf, axis=-1)[..., 1]          # [B, P]
         boxes = decode(loc, self._default_boxes, self.cfg.variance)  # [B, P, 4]
 

@@ -120,7 +120,10 @@ class MTCNNDetector:
         self.cfg = cfg
         self.precision = precision
         self.pnet, self.rnet, self.onet = PNet(dtype=dtype), RNet(dtype=dtype), ONet(dtype=dtype)
-        self.vars = {"pnet": pnet_vars, "rnet": rnet_vars, "onet": onet_vars}
+        # stage params on device ONCE — host-numpy checkpoint trees would
+        # otherwise re-upload over the host link on every jitted call
+        self.vars = jax.device_put({"pnet": pnet_vars, "rnet": rnet_vars,
+                                    "onet": onet_vars})
 
     # --- jitted forwards (shape-bucketed) -------------------------------------
     @functools.partial(jax.jit, static_argnames=("self",))

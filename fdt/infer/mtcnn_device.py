@@ -40,6 +40,8 @@ import numpy as np
 
 from fdt.config import MTCNN, MTCNNConfig
 from fdt.geometry.nms import nms_keep_mask, nms_padded
+from fdt.ops.s2d import (conv_valid, pad_cells, phase_s2d_kernel,
+                         space_to_depth)
 from fdt.models.mtcnn import ONet, PNet, RNet
 
 
@@ -168,52 +170,6 @@ def _resize_level(img255, src_h: int, src_w: int, lh: int, lw: int, fx: float):
     return jnp.round(lvl)
 
 
-def _s2d(x, p: int):
-    """[H,W,C] → [H/p, W/p, p·p·C] space-to-depth (H, W multiples of p)."""
-    h, w, c = x.shape
-    return (x.reshape(h // p, p, w // p, p, c)
-            .transpose(0, 2, 1, 3, 4).reshape(h // p, w // p, p * p * c))
-
-
-def _pad_cells(x, p: int):
-    """Zero-pad right/bottom to a multiple of p PLUS one extra p-cell, so the
-    trailing VALID positions (whose taps are all real pixels) still get a
-    second s2d cell to read from; garbage appears only at positions past the
-    true VALID extent, which the final slice drops."""
-    h, w, _ = x.shape
-    return jnp.pad(x, ((0, (-h) % p + p), (0, (-w) % p + p), (0, 0)))
-
-
-def _s2d_kernel(k, p: int):
-    """Full-res VALID stride-1 conv kernel [kh,kw,C,O] → its space-to-depth
-    form [U,U,p²C,p²O]: W[u,v,(r,s,c),(a,b,o)] = k[pu+r−a, pv+s−b, c, o]
-    (0 outside the tap range).  Built with static gathers so it traces under
-    jit with `k` a runtime param.  Output phase (a,b) of cell (i,j) equals the
-    full-res conv output at (p·i+a, p·j+b) — same 9 products, so numerics
-    match the direct conv to float round-off."""
-    kh, kw, c, o = k.shape
-    u = ((p - 1) + (kh - 1)) // p + 1
-    d = (p * np.arange(u)[:, None, None] + np.arange(p)[None, :, None]
-         - np.arange(p)[None, None, :])                       # [U, r/s, a/b]
-    valid = (d >= 0) & (d < kh)
-    dc = np.clip(d, 0, kh - 1)
-    # rows: [U,r,a,kw,C,O] ; then cols: [U,r,a, V,s,b, C,O]
-    rows = jnp.asarray(k)[dc] * jnp.asarray(valid, k.dtype)[..., None, None, None]
-    w = rows[:, :, :, dc, :, :] * jnp.asarray(valid, k.dtype)[None, None, None,
-                                                              ..., None, None]
-    # [U,V, r,s,c, a,b,o] → [U,V, p²C, p²O]
-    w = w.transpose(0, 3, 1, 4, 6, 2, 5, 7)
-    return w.reshape(u, u, p * p * c, p * p * o)
-
-
-def _conv_valid(x, k, precision):
-    dn = jax.lax.conv_dimension_numbers((1,) + x.shape, k.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(x[None], k, (1, 1), "VALID",
-                                        dimension_numbers=dn,
-                                        precision=precision)[0]
-
-
 def _pnet_s2d(params, atlas, precision):
     """PNet forward in space-to-depth form → (cls [H',W'], reg [H',W',4]).
 
@@ -237,16 +193,16 @@ def _pnet_s2d(params, atlas, precision):
 
     map_h = _pnet_map_size(atlas.shape[0])
     map_w = _pnet_map_size(atlas.shape[1])
-    x = _s2d(_pad_cells(atlas, 4), 4)                      # [H/4, W/4, 48]
-    y = prelu(_conv_valid(x, _s2d_kernel(k1, 4), precision)
+    x = space_to_depth(pad_cells(atlas, 4), 4)                      # [H/4, W/4, 48]
+    y = prelu(conv_valid(x, phase_s2d_kernel(k1, 4), precision)
               + jnp.tile(b1, 16), s1)                      # 16 phases × 10
     ph, pw, _ = y.shape
     # fused MaxPool2d(2,2): phase (a,b) pairs (2a₂+i, 2b₂+j) form one window
     y = y.reshape(ph, pw, 2, 2, 2, 2, 10).max(axis=(3, 5))
     y = y.reshape(ph, pw, 40)                              # = s2d of pool out
-    y = prelu(_conv_valid(y, _s2d_kernel(k2, 2), precision)
+    y = prelu(conv_valid(y, phase_s2d_kernel(k2, 2), precision)
               + jnp.tile(b2, 4), s2)                       # 4 phases × 16
-    y = prelu(_conv_valid(y, _s2d_kernel(k3, 2), precision)
+    y = prelu(conv_valid(y, phase_s2d_kernel(k3, 2), precision)
               + jnp.tile(b3, 4), s3)                       # 4 phases × 32
     p3, q3, _ = y.shape
     y = y.reshape(p3, q3, 4, 32)
@@ -388,7 +344,10 @@ class MTCNNDeviceCascade:
         self.crop_impl = crop_impl or ("matmul" if platform == "tpu" else "gather")
         self.pnet_impl = pnet_impl or ("s2d" if platform == "tpu" else "direct")
         self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
-        self.vars = {"pnet": pnet_vars, "rnet": rnet_vars, "onet": onet_vars}
+        # stage params on device ONCE — host-numpy checkpoint trees would
+        # otherwise re-upload over the host link on every jitted call
+        self.vars = jax.device_put({"pnet": pnet_vars, "rnet": rnet_vars,
+                                    "onet": onet_vars})
         self._jitted = {}
 
     # ----- cascade body (traced once per plan) --------------------------------

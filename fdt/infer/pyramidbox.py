@@ -54,7 +54,9 @@ class PyramidBoxDetector:
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
         self.model = model
-        self.variables = variables
+        # stage params on device ONCE — host-numpy checkpoint trees would
+        # otherwise re-upload over the host link on every jitted call
+        self.variables = jax.device_put(variables)
         self.detect_cfg = detect_cfg or cfg.detect
         self.precision = precision
         self.budget = budget

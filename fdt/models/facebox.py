@@ -15,7 +15,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fdt.models.common import ConvBNReLU, batch_norm, conv, crelu, max_pool
+from fdt.models.common import ConvBNReLU, conv, crelu, max_pool
 
 
 class Inception(nn.Module):
@@ -55,33 +55,58 @@ class MultiBoxHeads(nn.Module):
 
 
 class FaceBox(nn.Module):
-    """FaceBoxes: RDCL (CReLU stem) → 3×Inception → strided necks → multibox heads."""
+    """FaceBoxes: RDCL (CReLU stem) → 3×Inception → strided necks → multibox heads.
+
+    setup-style (attribute names = the torch checkpoint's module names) so the
+    MSCL trunk is separately callable: the TPU inference path replaces the RDCL
+    stem with a space-to-depth rearrangement (fdt.infer.facebox._stem_s2d, same
+    parameters) and resumes at `mscl` via apply(..., method="mscl")."""
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
         d = self.dtype
-        if d is not None:
-            x = x.astype(d)
-        # RDCL
-        x = conv(24, 7, 4, 3, name="conv1", dtype=d)(x)
-        x = batch_norm(name="bn1", train=train, dtype=d)(x)
+        self.conv1 = conv(24, 7, 4, 3, dtype=d)
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=d)
+        self.conv2 = conv(64, 5, 2, 2, dtype=d)
+        self.bn2 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=d)
+        self.inception1 = Inception(dtype=d)
+        self.inception2 = Inception(dtype=d)
+        self.inception3 = Inception(dtype=d)
+        self.conv3_1 = ConvBNReLU(128, 1, dtype=d)
+        self.conv3_2 = ConvBNReLU(256, 3, 2, 1, dtype=d)
+        self.conv4_1 = ConvBNReLU(128, 1, dtype=d)
+        self.conv4_2 = ConvBNReLU(256, 3, 2, 1, dtype=d)
+        self.multilbox = MultiBoxHeads(dtype=d)
+
+    def rdcl(self, x, train: bool = False):
+        """Rapidly-digested conv layers (FACEBOX/networks.py:84-97)."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = self.conv1(x)
+        x = self.bn1(x, use_running_average=not train)
         x = crelu(x)
         x = max_pool(x, 3, 2, 1)
-        x = conv(64, 5, 2, 2, name="conv2", dtype=d)(x)
-        x = batch_norm(name="bn2", train=train, dtype=d)(x)
+        x = self.conv2(x)
+        x = self.bn2(x, use_running_average=not train)
         x = crelu(x)
-        x = max_pool(x, 3, 2, 1)
-        # MSCL
-        x = Inception(name="inception1", dtype=d)(x, train)
-        x = Inception(name="inception2", dtype=d)(x, train)
-        x = Inception(name="inception3", dtype=d)(x, train)
+        return max_pool(x, 3, 2, 1)
+
+    def mscl(self, x, train: bool = False):
+        """Multi-scale conv layers + heads (FACEBOX/networks.py:99-116)."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = self.inception1(x, train)
+        x = self.inception2(x, train)
+        x = self.inception3(x, train)
         hs = [x]
-        x = ConvBNReLU(128, 1, name="conv3_1", dtype=d)(x, train)
-        x = ConvBNReLU(256, 3, 2, 1, name="conv3_2", dtype=d)(x, train)
+        x = self.conv3_1(x, train)
+        x = self.conv3_2(x, train)
         hs.append(x)
-        x = ConvBNReLU(128, 1, name="conv4_1", dtype=d)(x, train)
-        x = ConvBNReLU(256, 3, 2, 1, name="conv4_2", dtype=d)(x, train)
+        x = self.conv4_1(x, train)
+        x = self.conv4_2(x, train)
         hs.append(x)
-        loc, conf = MultiBoxHeads(name="multilbox", dtype=d)(hs)
+        loc, conf = self.multilbox(hs)
         return loc.astype(jnp.float32), conf.astype(jnp.float32)
+
+    def __call__(self, x, train: bool = False):
+        return self.mscl(self.rdcl(x, train), train)

@@ -97,3 +97,29 @@ def test_facebox_e2e_detect_matches_reference(facebox_variables, torch_facebox,
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref_boxes)[order],
                                rtol=1e-3, atol=2e-3)
+
+
+def test_s2d_stem_matches_rdcl(facebox_variables):
+    """The space-to-depth RDCL stem (TPU fast path) is numerically the direct
+    conv stem: same taps, stride phases packed into MXU-shaped contractions."""
+    from fdt.infer.facebox import FaceBoxDetector, _stem_s2d
+    from fdt.models.facebox import FaceBox
+
+    model = FaceBox()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+    want = model.apply(facebox_variables, x, method="rdcl")
+    got = _stem_s2d(facebox_variables, x, "highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    det_s2d = FaceBoxDetector(facebox_variables, stem_impl="s2d")
+    det_dir = FaceBoxDetector(facebox_variables, stem_impl="direct")
+    img = (rng.rand(det_s2d.cfg.input_size, det_s2d.cfg.input_size, 3)
+           * 255).astype(np.uint8)
+    bs, ss, cs = jax.device_get(det_s2d._detect_impl(det_s2d.variables,
+                                                     jnp.asarray(img)[None]))
+    bd, sd, cd = jax.device_get(det_dir._detect_impl(det_dir.variables,
+                                                     jnp.asarray(img)[None]))
+    assert int(cs[0]) == int(cd[0])
+    np.testing.assert_allclose(ss, sd, atol=1e-4)
+    np.testing.assert_allclose(bs, bd, atol=1e-4)
