@@ -101,9 +101,20 @@ def eval_facebox(detector, anno_file: str, dump_path: str = "", **kw) -> np.ndar
 
 
 def eval_mtcnn(detector, anno_file: str, dump_path: str = "",
-               skip_ids: Sequence[int] = (2852,), **kw) -> np.ndarray:
-    """MTCNN/My_test_mtcnn.py protocol (min_face 24 detector, image 2852 skipped)."""
+               skip_ids: Sequence[int] = (2852,), bucketed: bool = False,
+               **kw) -> np.ndarray:
+    """MTCNN/My_test_mtcnn.py protocol (min_face 24 detector, image 2852 skipped).
+
+    bucketed=True routes through the device cascade's pad-to-bucket mode
+    (MTCNNDeviceCascade.detect_face_bucketed): arbitrary eval resolutions
+    share a handful of compiled cascades instead of one per (h, w), at a
+    bounded right/bottom-seam drift (tests/test_mtcnn_device.py)."""
+    if bucketed:
+        fn = detector.detect_face_bucketed
+    else:
+        fn = detector.detect_face
+
     def detect(image):
-        boxes, _ = detector.detect_face(image)
+        boxes, _ = fn(image)
         return boxes if boxes.size else np.empty((0, 5))
     return _run(detect, anno_file, dump_path, skip_ids=skip_ids, **kw)

@@ -473,6 +473,30 @@ class MTCNNDeviceCascade:
             return np.array([]), np.array([])
         return np.asarray(boxes)[:n], np.asarray(lm)[:n]
 
+    def detect_face_bucketed(self, img: np.ndarray, multiple: int = 128):
+        """Variable-resolution detect without a per-(h,w) compile.
+
+        Zero-pads the image right/bottom into a canvas whose dims round up to
+        `multiple`, so arbitrary eval-set resolutions share a small set of
+        compiled cascades.  Near-exact vs the native path: the canvas zeros
+        are the same zero-extension the reference's crop canvas reads
+        (detect.py:396-405), the pyramid's cv2 fx-mapping is origin-anchored,
+        and black padding scores under the PNet threshold — drift is confined
+        to pyramid-resize taps that straddle the image's right/bottom seam
+        (bounded by tests/test_mtcnn_device.py on the sample images).
+        """
+        h, w = img.shape[:2]
+        ch = -(-h // multiple) * multiple
+        cw = -(-w // multiple) * multiple
+        canvas = np.zeros((ch, cw, 3), img.dtype)
+        canvas[:h, :w] = img
+        boxes, lm, count = self._compiled(ch, cw)(self.vars,
+                                                  jnp.asarray(canvas))
+        n = int(count)
+        if n == 0:
+            return np.array([]), np.array([])
+        return np.asarray(boxes)[:n], np.asarray(lm)[:n]
+
     def detect_batch(self, imgs: np.ndarray):
         """Batched same-size cascade (vmapped whole pipeline) →
         (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B])."""
