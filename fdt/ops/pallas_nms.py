@@ -84,6 +84,14 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
     Column 4 of the box buffers is a segment id: suppression only acts within
     equal ids, solving every segment's independent greedy NMS in one pass
     (MTCNN's per-pyramid-level NMS); pass a constant column for plain NMS.
+
+    Cost scales with the ACTUAL candidate extent, not the static budget: the
+    tile loop stops after the last tile containing a valid box (callers pass
+    score-sorted boxes, so sub-threshold padding is a trailing block), which
+    on realistic score distributions cuts the quadratic work by 10-100x vs
+    sweeping the full 5000/8192-box budget.  Exact for any validity pattern —
+    skipped tiles are all-invalid (keep 0 by init) and later boxes can never
+    suppress earlier ones in the greedy recurrence.
     """
     n = boxes_s_ref.shape[0]
     tiles = n // _LANES
@@ -91,6 +99,14 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+
+    keep_ref[:, :] = jnp.zeros_like(keep_ref)
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (tiles, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (tiles, _LANES), 1)
+            ).astype(jnp.float32)
+    extent = jnp.max((gidx + 1.0) * valid_ref[:, :])   # 1 + last valid index
+    tiles_active = jnp.minimum(
+        jnp.ceil(extent / _LANES), float(tiles)).astype(jnp.int32)
 
     def sup_block(row0, tx1, ty1, tx2, ty2, seg_t, t_area):
         """[128,128] suppression block: rows row0..row0+127 vs the tile."""
@@ -150,7 +166,7 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
         keep_ref[pl.ds(ti, 1), :] = keep_t
         return 0
 
-    jax.lax.fori_loop(0, tiles, tile_body, 0)
+    jax.lax.fori_loop(0, tiles_active, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
