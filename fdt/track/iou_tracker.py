@@ -106,19 +106,25 @@ def track_detections(per_frame_rows: Iterable[np.ndarray],
 
 def track_video(video_path: str, detector, cfg: TrackerConfig = TRACKER,
                 batch_size: int = 8, frame_size=(640, 480),
-                detect_threshold: float | None = None) -> List[dict]:
+                detect_threshold: float | None = None,
+                device_tracker: bool = False) -> List[dict]:
     """Offline tracking over a video file (iouTracke_cal.py driver).
 
     Frames are decoded/resized on host and detected in TPU batches of
-    `batch_size` (the association itself is sequential and cheap).  `detector`
-    is a fdt.infer.pyramidbox.PyramidBoxDetector.
+    `batch_size`.  `detector` is a fdt.infer.pyramidbox.PyramidBoxDetector.
+    device_tracker=True runs the greedy association as a jitted lax.scan on
+    device too (fdt.track.device_tracker; bit-parity tested vs the host loop).
     """
     import cv2
     from fdt.infer.pyramidbox import detections_to_rows
 
     thr = cfg.score_floor if detect_threshold is None else detect_threshold
     cap = cv2.VideoCapture(video_path)
-    tracker = IoUTracker(cfg)
+    if device_tracker:
+        from fdt.track.device_tracker import DeviceIoUTracker
+        tracker = DeviceIoUTracker(cfg)
+    else:
+        tracker = IoUTracker(cfg)
     w, h = frame_size
     scale = [w, h, w, h]
     batch: List[np.ndarray] = []
@@ -127,8 +133,13 @@ def track_video(video_path: str, detector, cfg: TrackerConfig = TRACKER,
         if not batch:
             return
         det = detector.detect_tensor(np.stack(batch))
-        for i in range(det.shape[0]):
-            tracker.step(detections_to_rows(det[i], thr, scale))
+        rows_list = [detections_to_rows(det[i], thr, scale)
+                     for i in range(det.shape[0])]
+        if hasattr(tracker, "step_chunk"):
+            tracker.step_chunk(rows_list)      # one device call per batch
+        else:
+            for rows in rows_list:
+                tracker.step(rows)
         batch.clear()
 
     while True:

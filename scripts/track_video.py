@@ -20,10 +20,13 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--batch", default=8, type=int)
     ap.add_argument("--out", default=None, help="defaults to <video stem>.npy")
+    ap.add_argument("--device_tracker", action="store_true",
+                    help="run the greedy association on device (lax.scan)")
     args = ap.parse_args()
 
     det = load_pyramidbox_detector(args.net, args.weights)
-    tracks = track_video(args.video, det, batch_size=args.batch)
+    tracks = track_video(args.video, det, batch_size=args.batch,
+                         device_tracker=args.device_tracker)
     out = args.out or args.video.rsplit(".", 1)[0] + ".npy"
     save_tracks(tracks, out)
     print(f"{len(tracks)} tracks saved to {out}")

@@ -1,5 +1,6 @@
 """IoU tracker semantics tests — including the reference's faithful quirks."""
 import numpy as np
+import pytest
 
 from fdt.config import TrackerConfig
 from fdt.track import IoUTracker, track_detections, save_tracks, load_tracks
@@ -88,3 +89,57 @@ def test_distance_mode():
     tracks = track_detections(frames, cfg)
     assert len(tracks) == 1
     assert len(tracks[0]["bboxes"]) == 3
+
+
+def _random_stream(seed, frames=40, max_n=12):
+    """Synthetic detection stream: drifting boxes + noise + dropouts."""
+    rng = np.random.RandomState(seed)
+    walkers = [(rng.rand(2) * 400, 20 + rng.rand() * 60, 0.3 + rng.rand() * 0.7)
+               for _ in range(6)]
+    stream = []
+    for f in range(frames):
+        rows = []
+        for i, (c, s, q) in enumerate(walkers):
+            if rng.rand() < 0.15:      # dropout
+                continue
+            c = c + rng.randn(2) * 4
+            walkers[i] = (c, s, q)
+            rows.append([c[0] - s / 2, c[1] - s / 2, c[0] + s / 2, c[1] + s / 2,
+                         np.clip(q + rng.randn() * 0.1, 0, 1)])
+        for _ in range(rng.poisson(1.0)):   # clutter
+            c = rng.rand(2) * 400
+            s = 10 + rng.rand() * 40
+            rows.append([c[0], c[1], c[0] + s, c[1] + s, rng.rand() * 0.5])
+        if rng.rand() < 0.07:
+            rows = []                  # empty frame (silent-drop quirk)
+        stream.append(np.asarray(rows, np.float32).reshape(-1, 5))
+    return stream
+
+
+@pytest.mark.parametrize("use_iou", [True, False])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_device_tracker_matches_host(use_iou, seed):
+    """The lax.scan device association replays to the exact host-tracker
+    output: same tracks, same order, same boxes/scores/start frames."""
+    from fdt.config import TrackerConfig
+    from fdt.track.device_tracker import DeviceIoUTracker
+    from fdt.track.iou_tracker import IoUTracker
+
+    cfg = TrackerConfig(use_iou=use_iou, t_min=3)
+    stream = _random_stream(seed)
+    host = IoUTracker(cfg)
+    for rows in stream:
+        host.step(rows)
+    want = host.flush()
+
+    dev = DeviceIoUTracker(cfg, t_max=64)
+    dev.step_chunk(stream[:17])        # uneven chunking on purpose
+    dev.step_chunk(stream[17:])
+    got = dev.flush()
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["start_frame"] == w["start_frame"]
+        assert g["max_score"] == pytest.approx(w["max_score"], abs=1e-6)
+        np.testing.assert_allclose(np.asarray(g["bboxes"]),
+                                   np.asarray(w["bboxes"]), atol=1e-5)
