@@ -176,6 +176,34 @@ def measure_mtcnn(batch=8, iters=10, h=480, w=640):
     return batch * iters / dt_s
 
 
+def measure_train(batch=8, iters=10, size=640):
+    """PyramidBox-ResNet50 train-step throughput (fwd+bwd+SGD, dual MultiBox
+    loss).  Opt-in (--configs train): the 640² fwd+bwd compile takes ~10min
+    through this environment's remote compile helper, too slow for the
+    default bench line."""
+    import jax
+    from fdt.models.pyramidbox import PyramidBox
+    from fdt.train import PyramidTrainer, pad_targets
+
+    trainer = PyramidTrainer(PyramidBox(), "repo", input_size=size,
+                             precision="default")
+    state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0),
+                                              abstract=True))
+    rng = np.random.RandomState(0)
+    images = jax.device_put(rng.rand(batch, size, size, 3).astype(np.float32)
+                            * 255)
+    targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0], [0.5, 0.5, 0.9, 0.9, 0]],
+                        np.float32)] * batch
+    gt = jax.device_put(pad_targets(targets, max_gt=8))
+    state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+    jax.block_until_ready(metrics["loss"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def measure_tracker(iters=3, frames=64, batch=16):
     """Offline tracking FPS (iouTracke_cal.py protocol, 640×480 frames).
 
@@ -391,6 +419,8 @@ def main():
                 ips = measure_mtcnn()
             elif name == "tracker":
                 ips = measure_tracker()
+            elif name == "train":
+                ips = measure_train()
             else:
                 continue
             results[name] = ips
@@ -405,6 +435,8 @@ def main():
             continue
         v = results.get(name)
         unit = "frames/s" if name == "tracker" else "images/s"
+        if name == "train":
+            unit = "images/s (train step)"
         extras[name] = {"value": round(v, 2) if v else None, "unit": unit,
                         "vs_baseline": ratio(v, name)}
     out = {
