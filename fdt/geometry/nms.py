@@ -102,10 +102,9 @@ def nms_keep_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float,
     """
     n = boxes.shape[0]
     if impl == "auto":
-        pinned = jax.config.jax_default_device
-        platform = (pinned.platform if pinned is not None
-                    else jax.default_backend())
-        impl = "pallas_tiled" if platform == "tpu" and n >= 2048 else "xla"
+        from fdt.utils.devices import default_platform
+        impl = ("pallas_tiled" if default_platform() == "tpu" and n >= 2048
+                else "xla")
     if impl == "pallas_tiled":
         from fdt.ops.pallas_nms import pallas_nms_keep_tiled
         return pallas_nms_keep_tiled(boxes, valid, iou_thresh, mode=mode,
@@ -163,12 +162,9 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
         scores = jnp.where(valid, scores, -jnp.inf)
     k = min(budget, n)
     if impl == "auto":
-        # where will this run? an explicitly pinned default device wins over
-        # the default backend (test envs pin CPU while a TPU plugin is present)
-        pinned = jax.config.jax_default_device
-        platform = (pinned.platform if pinned is not None
-                    else jax.default_backend())
-        impl = "pallas_tiled" if platform == "tpu" and k >= 2048 else "xla"
+        from fdt.utils.devices import default_platform
+        impl = ("pallas_tiled" if default_platform() == "tpu" and k >= 2048
+                else "xla")
     top_scores, order = jax.lax.top_k(scores, k)
     top_boxes = boxes[order]
     top_valid = top_scores > -jnp.inf

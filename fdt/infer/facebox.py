@@ -32,20 +32,18 @@ def _stem_s2d(variables, x, precision):
     contractions at 1/16 and 1/4 the spatial extent.  Exact rearrangement —
     same taps and products as FaceBox.rdcl (bounded by tests/test_facebox.py).
     """
+    from fdt.models.common import crelu, max_pool
+
     p, bs = variables["params"], variables["batch_stats"]
 
     def bn(y, name):
+        # inference BatchNorm; eps matches fdt.models.common.batch_norm (1e-5)
         g, b = p[name]["scale"], p[name]["bias"]
         mu, var = bs[name]["mean"], bs[name]["var"]
         return g * (y - mu) * jax.lax.rsqrt(var + 1e-5) + b
 
-    def crelu(y):
-        return jax.nn.relu(jnp.concatenate([y, -y], axis=-1))
-
     def pool(y):
-        import flax.linen as nn
-        return nn.max_pool(y, (3, 3), strides=(2, 2),
-                           padding=((1, 1), (1, 1)))
+        return max_pool(y, 3, 2, 1)
 
     h, w = x.shape[1], x.shape[2]
     oh, ow = (h + 6 - 7) // 4 + 1, (w + 6 - 7) // 4 + 1
@@ -84,10 +82,9 @@ class FaceBoxDetector:
         # A pinned default device wins over the default backend (test envs
         # pin CPU while a TPU plugin is present).
         if stem_impl is None:
-            pinned = jax.config.jax_default_device
-            platform = (pinned.platform if pinned is not None
-                        else jax.default_backend())
-            stem_impl = "s2d" if platform == "tpu" and dtype is None else "direct"
+            from fdt.utils.devices import default_platform
+            stem_impl = ("s2d" if default_platform() == "tpu"
+                         and dtype is None else "direct")
         self.stem_impl = stem_impl
         self._default_boxes = jnp.asarray(facebox_default_boxes(cfg))
         self._detect = jax.jit(self._detect_impl)

@@ -80,23 +80,41 @@ def _pnet_map_size(n: int) -> int:
     return max((n - 2) // 2 - 4, 0)
 
 
+def n_pyramid_levels(h: int, w: int,
+                     min_face_size: float = MTCNN.min_face_size,
+                     scale_factor: float = MTCNN.scale_factor) -> int:
+    """Length of the reference's pyramid ladder for an (h, w) image
+    (the detect.py:277 while-loop's trip count)."""
+    net_size = 12
+    s = net_size / min_face_size
+    n = 0
+    while min(int(np.rint(h * s)), int(np.rint(w * s))) > net_size:
+        n += 1
+        s *= scale_factor
+    return n
+
+
 @functools.lru_cache(maxsize=256)
 def build_plan(h: int, w: int, min_face_size: float = MTCNN.min_face_size,
                scale_factor: float = MTCNN.scale_factor,
                cell_size: int = MTCNN.cell_size,
-               stride: int = MTCNN.stride) -> PyramidPlan:
+               stride: int = MTCNN.stride,
+               max_levels: int | None = None) -> PyramidPlan:
     """Scale ladder + atlas layout + cell→box maps for one image shape.
 
     Level sizes replicate cv2.resize(im, None, fx=s, fy=s): rint(extent·s)
     (detect.py:277-284).  Levels stack vertically at even row offsets so the
     PNet stride-2 pooling grid stays aligned with each level's own grid.
+    max_levels truncates the ladder (bucketed mode: a padded canvas would
+    otherwise grow extra coarse levels the native image never runs).
     """
     net_size = 12
     s = net_size / min_face_size
     levels = []
     y = 0
     lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
-    while min(lh, lw) > net_size:
+    while min(lh, lw) > net_size and (max_levels is None
+                                      or len(levels) < max_levels):
         levels.append((lh, lw, y, s))
         y += lh + (lh % 2)  # keep offsets even
         s *= scale_factor
@@ -339,8 +357,8 @@ class MTCNNDeviceCascade:
         # small-channel convs win on CPU backends.  A pinned default device
         # wins over the default backend (test envs pin CPU while a TPU plugin
         # is present).
-        pinned = jax.config.jax_default_device
-        platform = pinned.platform if pinned is not None else jax.default_backend()
+        from fdt.utils.devices import default_platform
+        platform = default_platform()
         self.crop_impl = crop_impl or ("matmul" if platform == "tpu" else "gather")
         self.pnet_impl = pnet_impl or ("s2d" if platform == "tpu" else "direct")
         self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
@@ -446,11 +464,12 @@ class MTCNNDeviceCascade:
         return o_align[kidx], lm[kidx], kcnt
 
     # ----- host API ------------------------------------------------------------
-    def _compiled(self, h: int, w: int, stage: str = "onet"):
-        key = (h, w, stage)
+    def _compiled(self, h: int, w: int, stage: str = "onet",
+                  max_levels: int | None = None):
+        key = (h, w, stage, max_levels)
         if key not in self._jitted:
             plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
-                              self.cfg.cell_size, self.cfg.stride)
+                              self.cfg.cell_size, self.cfg.stride, max_levels)
             fn = functools.partial(self._cascade, plan, stage=stage)
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -478,20 +497,25 @@ class MTCNNDeviceCascade:
 
         Zero-pads the image right/bottom into a canvas whose dims round up to
         `multiple`, so arbitrary eval-set resolutions share a small set of
-        compiled cascades.  Near-exact vs the native path: the canvas zeros
-        are the same zero-extension the reference's crop canvas reads
-        (detect.py:396-405), the pyramid's cv2 fx-mapping is origin-anchored,
-        and black padding scores under the PNet threshold — drift is confined
-        to pyramid-resize taps that straddle the image's right/bottom seam
-        (bounded by tests/test_mtcnn_device.py on the sample images).
+        compiled cascades — one per (canvas, ladder-length) pair, the ladder
+        truncated to the NATIVE image's level count (a padded canvas would
+        otherwise add coarse pyramid levels the reference never runs on this
+        image).  Near-exact vs the native path: the canvas zeros are the same
+        zero-extension the reference's crop canvas reads (detect.py:396-405),
+        the pyramid's cv2 fx-mapping is origin-anchored, and black padding
+        scores under the PNet threshold — drift is confined to pyramid-resize
+        taps that straddle the image's right/bottom seam (bounded by
+        tests/test_mtcnn_device.py on the sample images).
         """
         h, w = img.shape[:2]
         ch = -(-h // multiple) * multiple
         cw = -(-w // multiple) * multiple
+        n_lv = n_pyramid_levels(h, w, self.cfg.min_face_size,
+                                self.cfg.scale_factor)
         canvas = np.zeros((ch, cw, 3), img.dtype)
         canvas[:h, :w] = img
-        boxes, lm, count = self._compiled(ch, cw)(self.vars,
-                                                  jnp.asarray(canvas))
+        boxes, lm, count = self._compiled(ch, cw, max_levels=n_lv)(
+            self.vars, jnp.asarray(canvas))
         n = int(count)
         if n == 0:
             return np.array([]), np.array([])

@@ -214,17 +214,37 @@ class DeviceIoUTracker:
             valid[i, :len(rows)] = True
         return boxes, scores, valid
 
+    def _grow(self, slots: _Slots, t_max: int) -> _Slots:
+        """Copy slot state into larger buffers (track-count auto-scaling)."""
+        pad = t_max - slots.alive.shape[0]
+        return _Slots(
+            last_box=jnp.pad(slots.last_box, ((0, pad), (0, 0))),
+            max_score=jnp.pad(slots.max_score, (0, pad)),
+            length=jnp.pad(slots.length, (0, pad)),
+            order=jnp.pad(slots.order, (0, pad),
+                          constant_values=jnp.inf),
+            alive=jnp.pad(slots.alive, (0, pad)),
+            next_key=slots.next_key)
+
     def step_chunk(self, rows_list: Sequence[np.ndarray]) -> None:
         """Advance len(rows_list) frames; each entry is an [N,5] rows array."""
         cfg = self.cfg
         boxes, scores, valid = self._pad(rows_list)
-        self.slots, (assign, finish, spawn, overflow) = _associate_chunk(
-            self.slots, boxes, scores, valid, cfg.sigma_iou, cfg.sigma_dis,
-            cfg.sigma_h, cfg.t_min, cfg.use_iou)
+        while True:
+            new_slots, (assign, finish, spawn, overflow) = _associate_chunk(
+                self.slots, boxes, scores, valid, cfg.sigma_iou, cfg.sigma_dis,
+                cfg.sigma_h, cfg.t_min, cfg.use_iou)
+            if not int(np.asarray(overflow).sum()):
+                break
+            # slots exhausted mid-chunk: double capacity and re-run the chunk
+            # from the (unmodified) pre-chunk state — the host tracker it
+            # mirrors is unbounded, so capacity must never change results
+            self.t_max *= 2
+            self.slots = self._grow(self.slots, self.t_max)
+            self._hist = self._hist + [None] * (self.t_max - len(self._hist))
+        self.slots = new_slots
         assign, finish, spawn = (np.asarray(assign), np.asarray(finish),
                                  np.asarray(spawn))
-        if int(np.asarray(overflow).sum()):
-            raise RuntimeError(f"track slots exhausted (t_max={self.t_max})")
         for f in range(len(rows_list)):
             self.frame_num += 1
             rows = np.asarray(rows_list[f], np.float32).reshape(-1, 5)
@@ -256,7 +276,11 @@ class DeviceIoUTracker:
         self.step_chunk([np.asarray(det_rows)])
 
     def flush(self) -> List[dict]:
-        """Final flush (iouTracke_cal.py:174-175): len >= t_min, active order."""
+        """Final flush (iouTracke_cal.py:174-175): len >= t_min, active order.
+
+        Like IoUTracker.flush, leaves the tracker empty-but-usable: device
+        slot state resets alongside the host mirrors, so further step()s
+        start from scratch instead of matching against ghost slots."""
         live = [s for s in range(self.t_max) if self._hist[s] is not None]
         for s in sorted(live, key=lambda s: self._hist[s]["_key"]):
             t = self._hist[s]
@@ -265,4 +289,5 @@ class DeviceIoUTracker:
                 del t["_key"]
                 self.finished.append(t)
             self._hist[s] = None
+        self.slots = init_slots(self.t_max)
         return self.finished

@@ -43,23 +43,31 @@ def sgd_optimizer(momentum: float = 0.6, weight_decay: float = 1e-4):
                        optax.trace(decay=momentum))
 
 
+def _xavier_kernel(path, shape, dtype, rng):
+    """Deterministic xavier-uniform draw for one conv kernel leaf.
+
+    The per-leaf key comes from a stable digest of the param path — Python's
+    hash() is salted per process and would silently break same-seed
+    reproducibility across runs.  Single source of truth for BOTH init paths
+    (compiled xavier_init_variables and shape-only materialize_variables),
+    whose bit-identity the dryrun/bench rely on."""
+    kh, kw, i, o = shape
+    fan_in, fan_out = i * kh * kw, o * kh * kw
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    key = jax.random.fold_in(
+        rng, zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x7FFFFFFF)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def xavier_init_variables(variables, rng):
     """Xavier-uniform conv kernels, zero biases, BN γ=1 β=0 (MyTrain_repo.py:79-96)."""
-    rngs = {}
 
     def init_leaf(path, leaf):
         name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
         if path[0].key != "params":
             return leaf
         if name == "kernel" and leaf.ndim == 4:
-            kh, kw, i, o = leaf.shape
-            fan_in, fan_out = i * kh * kw, o * kh * kw
-            bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
-            # stable per-leaf key: Python's hash() is salted per process and
-            # would silently break same-seed reproducibility across runs
-            key = jax.random.fold_in(
-                rng, zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x7FFFFFFF)
-            return jax.random.uniform(key, leaf.shape, leaf.dtype, -bound, bound)
+            return _xavier_kernel(path, leaf.shape, leaf.dtype, rng)
         if name == "bias":
             return jnp.zeros_like(leaf)
         if name == "scale":
@@ -80,12 +88,7 @@ def materialize_variables(shapes, rng):
     def make_leaf(path, leaf):
         name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
         if name == "kernel" and len(leaf.shape) == 4:
-            kh, kw, i, o = leaf.shape
-            fan_in, fan_out = i * kh * kw, o * kh * kw
-            bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
-            key = jax.random.fold_in(
-                rng, zlib.crc32(jax.tree_util.keystr(path).encode()) & 0x7FFFFFFF)
-            return jax.random.uniform(key, leaf.shape, leaf.dtype, -bound, bound)
+            return _xavier_kernel(path, leaf.shape, leaf.dtype, rng)
         if name in ("scale", "var"):
             return jnp.ones(leaf.shape, leaf.dtype)
         return jnp.zeros(leaf.shape, leaf.dtype)

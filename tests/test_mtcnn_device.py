@@ -195,3 +195,21 @@ def test_bucketed_matches_native(device_detector, reference_root):
             a2 = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
             iou = inter / (a1 + a2 - inter)
             assert iou.max() > 0.9, (f.name, box, iou.max())
+
+
+def test_bucketed_truncates_ladder():
+    """The bucketed canvas must NOT add coarse pyramid levels the native
+    image never runs (a padded canvas otherwise extends the scale ladder and
+    can detect faces larger than the native path structurally can)."""
+    from fdt.infer.mtcnn_device import build_plan, n_pyramid_levels
+
+    h, w = 150, 130
+    n_native = n_pyramid_levels(h, w)
+    canvas_plan_full = build_plan(256, 256)
+    canvas_plan_trunc = build_plan(256, 256, max_levels=n_native)
+    assert len(canvas_plan_full.levels) > n_native  # the hazard is real
+    assert len(canvas_plan_trunc.levels) == n_native
+    # truncated canvas ladder carries exactly the native scales
+    native_plan = build_plan(h, w)
+    assert ([s for (_, _, _, s) in canvas_plan_trunc.levels]
+            == [s for (_, _, _, s) in native_plan.levels])

@@ -143,3 +143,52 @@ def test_device_tracker_matches_host(use_iou, seed):
         assert g["max_score"] == pytest.approx(w["max_score"], abs=1e-6)
         np.testing.assert_allclose(np.asarray(g["bboxes"]),
                                    np.asarray(w["bboxes"]), atol=1e-5)
+
+
+def test_device_tracker_slot_overflow_autogrows():
+    """More simultaneous tracks than t_max must auto-grow, not crash —
+    the host tracker it mirrors is unbounded."""
+    from fdt.track.device_tracker import DeviceIoUTracker
+    from fdt.track.iou_tracker import IoUTracker
+
+    cfg = TrackerConfig(t_min=1)
+    rng = np.random.RandomState(0)
+    # 24 well-separated persistent boxes >> t_max=8
+    base = np.stack([np.arange(24) * 50.0, np.zeros(24),
+                     np.arange(24) * 50.0 + 40, np.full(24, 40.0),
+                     np.full(24, 0.9)], 1).astype(np.float32)
+    stream = [base + rng.rand(*base.shape).astype(np.float32)
+              for _ in range(6)]
+    host = IoUTracker(cfg)
+    for rows in stream:
+        host.step(rows)
+    want = host.flush()
+
+    dev = DeviceIoUTracker(cfg, t_max=8)
+    dev.step_chunk(stream)
+    got = dev.flush()
+    assert dev.t_max >= 24
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g["bboxes"]),
+                                   np.asarray(w["bboxes"]), atol=1e-5)
+
+
+def test_device_tracker_flush_resets_device_state():
+    """Stepping after flush() must start fresh (IoUTracker contract) —
+    device slots reset alongside the host mirrors."""
+    from fdt.track.device_tracker import DeviceIoUTracker
+
+    cfg = TrackerConfig(t_min=1)
+    rows = np.array([[10, 10, 50, 50, 0.9]], np.float32)
+    dev = DeviceIoUTracker(cfg, t_max=8)
+    for _ in range(3):
+        dev.step(rows)
+    first = dev.flush()
+    assert len(first) == 1 and len(first[0]["bboxes"]) == 3
+    for _ in range(2):
+        dev.step(rows)
+    second = dev.flush()
+    assert len(second) == 2          # finished list accumulates (reference)
+    assert len(second[1]["bboxes"]) == 2
+    assert second[1]["start_frame"] == 4
