@@ -37,6 +37,28 @@ class TrainConfig:
     save_folder: str = "weights_of_mine/"
 
 
+def _prefetch_batches(dataset, batch_size: int, depth: int = 3):
+    """Endless epoch-shuffled batches, built on a background thread.
+
+    The augmentation pipeline (photometric distort + data-anchor crop) is
+    host cv2/numpy work; running it on a worker thread overlaps it with the
+    device train step instead of serializing host and TPU.  `depth` bounds
+    the queue so a slow device doesn't pile up batches."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        while True:
+            for item in dataset.batches(batch_size):
+                q.put(item)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        yield q.get()
+
+
 def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
                          cfg: TrainConfig, val_anno: str | None = None,
                          log: Callable[[str], None] = print):
@@ -49,14 +71,10 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
 
     step_index = 0
     lr = cfg.lr
-    batches = iter(())
+    batches = _prefetch_batches(dataset, cfg.batch_size)
     for iteration in range(cfg.start_iter + 1, cfg.total_iters + 1):
         t0 = time.time()
-        try:
-            images, targets = next(batches)
-        except StopIteration:
-            batches = dataset.batches(cfg.batch_size)
-            images, targets = next(batches)
+        images, targets = next(batches)
         if iteration in cfg.step_values:
             step_index += 1
             lr = cfg.lr * (cfg.gamma ** step_index)

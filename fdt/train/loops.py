@@ -216,19 +216,34 @@ class PyramidTrainer:
 
 class LossHistory:
     """5-row loss array matching the reference dump layout
-    (total / face_loc / face_conf / head_loc / head_conf), MyTrain_repo.py:201-202."""
+    (total / face_loc / face_conf / head_loc / head_conf), MyTrain_repo.py:201-202.
+
+    append() keeps the metric DEVICE arrays — forcing them to host floats
+    every step would insert a device sync into the training loop and stall
+    the input-pipeline/compute overlap; everything materializes in one
+    device_get at save()/drain() time."""
 
     def __init__(self, save_point: int):
+        self.save_point = save_point
+        self.pending: list = []
         self.buf = np.zeros((5, save_point + 1))
         self.idx = 0
 
     def append(self, metrics):
-        self.buf[:, self.idx] = [float(metrics["loss"]), float(metrics["face_loc"]),
-                                 float(metrics["face_conf"]), float(metrics["head_loc"]),
-                                 float(metrics["head_conf"])]
-        self.idx += 1
+        self.pending.append((metrics["loss"], metrics["face_loc"],
+                             metrics["face_conf"], metrics["head_loc"],
+                             metrics["head_conf"]))
+
+    def drain(self):
+        if self.pending:
+            vals = np.asarray(jax.device_get(self.pending), np.float64)
+            n = min(len(vals), self.buf.shape[1] - self.idx)
+            self.buf[:, self.idx:self.idx + n] = vals[:n].T
+            self.idx += n
+            self.pending = []
 
     def save(self, path: str):
+        self.drain()
         np.save(path, self.buf)
         self.buf = np.zeros_like(self.buf)
         self.idx = 0

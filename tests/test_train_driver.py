@@ -130,3 +130,38 @@ def test_abstract_init_matches_compiled_init(_tiny_trainer_base):
                  jax.device_get(fast.params), host_state.params)
     jax.tree.map(np.testing.assert_array_equal,
                  jax.device_get(fast.batch_stats), host_state.batch_stats)
+
+
+def test_run_pyramid_training_loop(tmp_path):
+    """End-to-end driver loop on a tiny synthetic dataset: prefetched
+    batches, lazy LossHistory drain, checkpoint + 5-row loss dump layout."""
+    import cv2
+
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    from fdt.train.driver import TrainConfig, run_pyramid_training
+
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(3):
+        img = (rng.rand(160, 200, 3) * 255).astype(np.uint8)
+        path = tmp_path / f"im_{i}.jpg"
+        cv2.imwrite(str(path), img)
+        lines.append(f"{path} 1 40 30 80 90")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("\n".join(lines) + "\n")
+
+    model = build_pyramidbox("try3")
+    trainer = PyramidTrainer(model, "try3", input_size=128)
+    state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
+    cfg = TrainConfig(batch_size=2, total_iters=4, save_point=2, max_gt=4,
+                      save_folder=str(tmp_path), name="tiny",
+                      eval_freq=2, eval_batches=1)
+    state = run_pyramid_training(trainer, state, str(anno), cfg,
+                                 val_anno=str(anno), log=lambda m: None)
+    assert int(state.step) == 4
+    loss2 = np.load(tmp_path / "tiny_loss_2.npy")
+    assert loss2.shape[0] == 5                 # reference 5-row layout
+    assert np.isfinite(loss2[:, :2]).all() and (loss2[0, :2] > 0).all()
+    assert (tmp_path / "tiny_eval_loss_2.npy").exists()
+    import os
+    assert any("tiny" in f and "4" in f for f in os.listdir(tmp_path))
