@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--display", action="store_true")
     ap.add_argument("--max_frames", default=None, type=int)
+    ap.add_argument("--host_cascade", action="store_true",
+                    help="MTCNN only: use the host-loop cascade instead of "
+                         "the single-jit device cascade")
     args = ap.parse_args()
     source = int(args.source) if args.source.isdigit() else args.source
     kw = dict(source=source, out_path=args.out, display=args.display,
@@ -32,11 +35,17 @@ def main():
         fps = facebox_demo(load_facebox_detector(
             args.weights or "/root/reference/FACEBOX/faceboxes.pt"), **kw)
     else:
-        from fdt.infer.mtcnn import load_mtcnn_detector
         base = "/root/reference/MTCNN/original_model"
-        fps = mtcnn_demo(load_mtcnn_detector(f"{base}/pnet_epoch.pt",
-                                             f"{base}/rnet_epoch.pt",
-                                             f"{base}/onet_epoch.pt"), **kw)
+        paths = (f"{base}/pnet_epoch.pt", f"{base}/rnet_epoch.pt",
+                 f"{base}/onet_epoch.pt")
+        if args.host_cascade:
+            from fdt.infer.mtcnn import load_mtcnn_detector
+            det = load_mtcnn_detector(*paths)
+        else:
+            # fixed frame size → one compile; the whole cascade stays on device
+            from fdt.infer.mtcnn_device import load_device_cascade
+            det = load_device_cascade(*paths)
+        fps = mtcnn_demo(det, **kw)
     print(f"average fps: {fps:.2f}")
 
 
