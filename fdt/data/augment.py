@@ -65,6 +65,11 @@ def data_anchor_crop(image: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     """
     import cv2
     height, width, _ = image.shape
+    if len(boxes) == 0:
+        # no face to anchor the crop on (the reference crashes here,
+        # augmentations.py:292; WiderFaceDataset filters such records, but a
+        # custom dataset may still hand one in): fall back to a plain resize
+        return cv2.resize(image, (640, 640)), boxes.reshape(0, 4), labels
     box_area = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
     rand_idx = rng.randint(len(box_area))
     rand_side = box_area[rand_idx] ** 0.5

@@ -18,7 +18,7 @@ class EvalCollector:
         """Optional multi-host sharding: each process takes a CONTIGUOUS block
         of the record list (the DCN input-sharding layer).  Blocks — not
         strides — so that concatenating per-process dumps in process order
-        preserves the unsharded accumulation order; fdt.eval.pr.merge_dumps
+        preserves the unsharded accumulation order; fdt.eval.pr.merge_raw
         then reproduces the single-process dump bit-exactly."""
         self.records = parse_anno_file(anno_file)
         if process_count and process_count > 1:

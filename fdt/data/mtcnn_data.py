@@ -97,7 +97,9 @@ def assemble_annotations(output_file: str, anno_file_list: Sequence[str],
     count = 0
     for anno_file in anno_file_list:
         lines = open(anno_file).readlines()
-        n = min(len(lines), base_num * 3) if len(lines) > base_num * 3 else len(lines)
+        n = min(len(lines), base_num * 3)
+        # with replacement, like the reference (assemble.py:28-34 — its
+        # no-replacement branch is commented out)
         idx_keep = rng.choice(len(lines), size=n)
         with open(output_file, "a+") as f:
             for i in idx_keep:

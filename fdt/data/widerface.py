@@ -41,7 +41,16 @@ class WiderFaceDataset:
                  augment: Callable | None = None,
                  rng: np.random.RandomState | None = None):
         from fdt.data.augment import pyramid_augment
-        self.records = parse_anno_file(anno_file)
+        records = parse_anno_file(anno_file)
+        # drop records whose every box is zero-sized (the shipped
+        # gen_anno_file_train carries 4 such '0 0 0 0' lines — the degenerate
+        # entries gen_anno.py's validator flags): annotation_transform would
+        # leave them with zero GT and the data-anchor crop has no face to
+        # sample (the reference crashes on them the same way,
+        # augmentations.py:292)
+        self.records = [r for r in records
+                        if np.any((r.boxes_xywh[:, 2] != 0)
+                                  & (r.boxes_xywh[:, 3] != 0))]
         self.size = size
         self.rng = rng or np.random.RandomState(0)
         self.augment = augment or pyramid_augment

@@ -46,14 +46,24 @@ def eval_pyramidbox_batched(detector, anno_file: str, threshold: float,
     """Bucketed-batched PyramidBox eval; returns the reference-layout dump."""
     dataset = EvalCollector(anno_file)
     buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
-    sizes = []
     import cv2
+
+    def image_size(path):
+        """(w, h) from the file header — the bucketing pass must not decode
+        every JPEG a second time just to learn its shape."""
+        try:
+            from PIL import Image
+            with Image.open(path) as im:
+                return im.size
+        except Exception:
+            img = cv2.imread(path)
+            if img is None:
+                raise FileNotFoundError(path)
+            return img.shape[1], img.shape[0]
+
     for i, rec in enumerate(dataset.records):
-        img = cv2.imread(rec.path)
-        if img is None:
-            raise FileNotFoundError(rec.path)
-        sizes.append(img.shape)
-        buckets[bucket_for(img.shape[1], img.shape[0])].append(i)
+        w, h = image_size(rec.path)
+        buckets[bucket_for(w, h)].append(i)
 
     acc = TfConfAccumulator(iou_thresh)
     mean = np.array(PIXEL_MEAN_BGR, np.float32).astype(np.uint8)

@@ -22,6 +22,12 @@ def calc_pr(predict: np.ndarray, truth_xywh: np.ndarray, iou_thresh: float = 0.5
 
     Returns ([2,N] array of (tf_flag, score) columns, M).
     """
+    if truth_xywh.shape[0] == 0:
+        # image with no GT: every detection is a false positive (the
+        # reference's np.max over the empty IoU axis would crash here,
+        # calc_performance.py:88)
+        return np.vstack((np.zeros(len(predict), np.int32),
+                          predict[:, 4])), 0
     truth = np.hstack((truth_xywh[:, :2], truth_xywh[:, 2:] + truth_xywh[:, :2])).astype(np.float64)
     pred = predict[:, :4].astype(np.float64)
     inter_w = np.maximum(0, np.minimum(truth[:, None, 2], pred[None, :, 2]) -
@@ -58,18 +64,41 @@ class TfConfAccumulator:
         sorted_tc = self.tf_conf[:, order]
         return np.hstack((sorted_tc, [[0], [self.truth_num]]))
 
+    def raw(self):
+        """(tf_conf [2,D] in accumulation order, truth_num) — the shard
+        payload for bit-exact multi-process merging (see merge_raw)."""
+        return self.tf_conf, self.truth_num
+
     def save(self, path: str):
         np.save(path, self.finalize())
 
 
-def merge_dumps(dumps) -> np.ndarray:
-    """Merge per-process finalized dumps into the single-process dump.
+def merge_raw(parts) -> np.ndarray:
+    """Merge per-process RAW accumulator payloads (TfConfAccumulator.raw)
+    into the single-process dump.
 
     Multi-host eval shards the record list into CONTIGUOUS blocks
-    (fdt.data.EvalCollector), so concatenating the per-process detection
-    columns in process order reproduces the unsharded accumulation order
-    exactly; one re-sort and a summed GT sentinel then yield a dump
-    bit-identical to an unsharded run (tests/test_data_eval.py).
+    (fdt.data.EvalCollector), so concatenating the raw per-process columns in
+    process order reproduces the unsharded ACCUMULATION order exactly; the
+    same argsort then yields a dump bit-identical to an unsharded run, tied
+    confidences included (tests/test_data_eval.py).
+    """
+    tf_conf = np.hstack([np.asarray(p[0]) for p in parts]
+                        or [np.zeros((2, 0))])
+    truth_num = sum(p[1] for p in parts)
+    order = np.argsort(tf_conf[1, :])[::-1]
+    return np.hstack((tf_conf[:, order], [[0], [truth_num]]))
+
+
+def merge_dumps(dumps) -> np.ndarray:
+    """Merge per-process FINALIZED dumps into one.
+
+    Value-identical to the unsharded dump (same multiset of columns, same
+    descending-confidence order), but EXACTLY tied confidences may permute
+    within their tie group relative to an unsharded run, because each shard
+    arrives pre-sorted rather than in accumulation order.  When bit-exact
+    parity matters (golden comparisons), ship the raw accumulators and use
+    merge_raw instead.
     """
     parts = [np.asarray(d) for d in dumps]
     tf_conf = np.hstack([p[:, :-1] for p in parts] or [np.zeros((2, 0))])

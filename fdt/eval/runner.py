@@ -17,7 +17,9 @@ from fdt.data.collector import EvalCollector
 from fdt.eval.pr import TfConfAccumulator
 
 
-def _draw(image, target_xywh, predict, out_path):  # pragma: no cover
+def _draw(image, target_xywh, predict, out_path=None):  # pragma: no cover
+    """GT-green/pred-red overlay (My_test.py:144-161); optionally written to
+    out_path.  Single renderer for both the headless and live display paths."""
     import cv2
     img = image.copy()
     for box in target_xywh:
@@ -29,7 +31,9 @@ def _draw(image, target_xywh, predict, out_path):  # pragma: no cover
         cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (0, 0, 255), 1)
         cv2.putText(img, f"{score:.3f}", (b[0], b[1] - 2),
                     cv2.FONT_HERSHEY_PLAIN, 0.7, (0, 0, 255), 1)
-    cv2.imwrite(out_path, img)
+    if out_path:
+        cv2.imwrite(out_path, img)
+    return img
 
 
 def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
@@ -56,15 +60,7 @@ def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
                   os.path.join(display_dir, f"{img_id}.jpg"))
         if display:  # pragma: no cover — needs a display server
             import cv2
-            shown = image.copy()
-            for box in target:
-                cv2.rectangle(shown, (box[0], box[1]),
-                              (box[0] + box[2], box[1] + box[3]), (0, 255, 0), 1)
-            for box in predict:
-                b = box[:4].astype(np.int32)
-                cv2.rectangle(shown, (b[0], b[1]), (b[2], b[3]), (0, 0, 255), 1)
-                cv2.putText(shown, f"{box[4]:.3f}", (b[0], b[1] - 2),
-                            cv2.FONT_HERSHEY_PLAIN, 0.7, (0, 0, 255), 1)
+            shown = _draw(image, target, predict)
             cv2.imshow("1", shown)
             if cv2.waitKey(1000) == ord("s"):
                 path = os.path.join(snapshot_dir,

@@ -68,10 +68,8 @@ def _overlap_matrix(boxes: jnp.ndarray, mode: str) -> jnp.ndarray:
     if mode == "union":
         return iou_matrix(boxes, boxes)
     if mode == "minimum":
-        max_xy = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
-        min_xy = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
-        wh = jnp.clip(max_xy - min_xy, 0.0)
-        inter = wh[..., 0] * wh[..., 1]
+        from fdt.geometry.boxes import intersect
+        inter = intersect(boxes, boxes)
         area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         return inter / jnp.minimum(area[:, None], area[None, :])
     raise ValueError(f"unknown NMS mode: {mode}")

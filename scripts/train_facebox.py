@@ -46,7 +46,16 @@ def main():
             state = restore_checkpoint(path, state)
             print(f"resumed from {path}")
 
-    dataset = WiderFaceDataset(args.annoPath, size=FACEBOX.input_size)
+    # raw-pixel augmentation (mean=(0,0,0)): FaceBoxes' protocol is /255 on
+    # raw pixels (applied inside FaceBoxTrainer._losses, matching
+    # My_test_facebox.py:15 at inference) — the pyramid family's
+    # mean-subtracted output would train on a shifted input distribution
+    import functools
+
+    from fdt.data.augment import pyramid_augment
+    dataset = WiderFaceDataset(
+        args.annoPath, size=FACEBOX.input_size,
+        augment=functools.partial(pyramid_augment, mean=(0, 0, 0)))
     os.makedirs(args.save_folder, exist_ok=True)
     it = int(np.asarray(state.step))
     while it < args.iter:

@@ -114,3 +114,34 @@ def test_debug_visualizers(tmp_path, rng):
     assert (tmp_path / "enc_0.jpg").exists()
     # the matched-anchor group must actually mark some anchors green
     assert any((im[:, :, 1] == 255).any() for im in imgs)
+
+
+def test_data_anchor_crop_empty_gt_no_crash(rng):
+    """Zero-GT input falls back to a plain resize instead of crashing
+    (the reference's RandomBaiduCrop raises on randrange(0))."""
+    from fdt.data.augment import data_anchor_crop
+
+    img = (rng.rand(100, 120, 3) * 255).astype(np.float32)
+    out, boxes, labels = data_anchor_crop(img, np.zeros((0, 4), np.float32),
+                                          np.zeros((0,)), rng)
+    assert out.shape == (640, 640, 3)
+    assert boxes.shape == (0, 4)
+
+
+def test_dataset_drops_zero_face_records(tmp_path):
+    """gen_anno_file_train carries 4 degenerate '0 0 0 0' lines; the dataset
+    must drop them (no face to anchor the crop on) but keep records where at
+    least one real box exists."""
+    import cv2
+
+    from fdt.data.widerface import WiderFaceDataset
+
+    img = (np.random.RandomState(0).rand(60, 60, 3) * 255).astype(np.uint8)
+    p = tmp_path / "a.jpg"
+    cv2.imwrite(str(p), img)
+    anno = tmp_path / "anno.txt"
+    anno.write_text(f"{p} 1 0 0 0 0\n"            # all-degenerate: dropped
+                    f"{p} 2 0 0 0 0 5 5 20 20\n"  # one real box: kept
+                    f"{p} 1 10 10 30 30\n")
+    ds = WiderFaceDataset(str(anno))
+    assert len(ds) == 2

@@ -127,3 +127,49 @@ def test_eval_collector_block_slices_cover(tmp_path):
         c = EvalCollector(str(anno), process_index=pi, process_count=4)
         sliced += [r.path for r in c.records]
     assert sliced == paths
+
+
+def test_merge_raw_bit_exact_with_ties(rng):
+    """merge_raw reproduces the unsharded dump bit-exactly even when
+    confidences tie across shards (merge_dumps only guarantees value
+    identity there)."""
+    from fdt.eval.pr import TfConfAccumulator, merge_raw
+
+    preds, truths = [], []
+    for i in range(12):
+        n = rng.randint(1, 6)
+        boxes = rng.rand(n, 4) * 50
+        boxes[:, 2:] += boxes[:, :2] + 5
+        conf = np.round(rng.rand(n), 1)       # heavy ties by construction
+        preds.append(np.column_stack([boxes, conf]))
+        truths.append((rng.rand(rng.randint(0, 4), 4) * 50 + 1).astype(np.float64))
+
+    single = TfConfAccumulator()
+    for p, t in zip(preds, truths):
+        single.add(p, t)
+    want = single.finalize()
+
+    parts = []
+    for pi in range(3):
+        acc = TfConfAccumulator()
+        for p, t in zip(preds[pi * 4:(pi + 1) * 4], truths[pi * 4:(pi + 1) * 4]):
+            acc.add(p, t)
+        parts.append(acc.raw())
+    got = merge_raw(parts)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_calc_pr_zero_truth():
+    """An image with detections but no GT counts them all as false
+    positives instead of crashing (the reference would np.max over an
+    empty axis)."""
+    from fdt.eval.pr import TfConfAccumulator, calc_pr
+
+    pred = np.array([[0, 0, 10, 10, 0.9], [5, 5, 20, 20, 0.7]])
+    tf_conf, n = calc_pr(pred, np.zeros((0, 4)))
+    assert n == 0
+    np.testing.assert_array_equal(tf_conf[0], [0, 0])
+    acc = TfConfAccumulator()
+    acc.add(pred, np.zeros((0, 4)))
+    dump = acc.finalize()
+    assert dump.shape == (2, 3) and dump[1, -1] == 0
