@@ -161,7 +161,7 @@ def measure_mtcnn(batch=8, iters=10, h=480, w=640):
     boxes, _ = dev.detect_face(frame)
     from fdt.infer.mtcnn_device import build_plan
     plan = build_plan(h, w, dev.cfg.min_face_size, dev.cfg.scale_factor,
-                      dev.cfg.cell_size, dev.cfg.stride)
+                      dev.cfg.cell_size, dev.cfg.stride, None)
     import functools
     cascade = jax.vmap(functools.partial(dev._cascade, plan), in_axes=(None, 0))
 

@@ -80,18 +80,27 @@ def _pnet_map_size(n: int) -> int:
     return max((n - 2) // 2 - 4, 0)
 
 
+def _scale_ladder(h: int, w: int, min_face_size: float, scale_factor: float):
+    """The reference's pyramid ladder for an (h, w) image: [(lh, lw, s), ...]
+    with lh/lw = rint(extent·s) (cv2.resize fx semantics) — the
+    detect.py:277-284 while-loop.  Single source of truth for build_plan's
+    level set and the bucketed mode's native-level count."""
+    net_size = 12
+    s = net_size / min_face_size
+    out = []
+    lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
+    while min(lh, lw) > net_size:
+        out.append((lh, lw, s))
+        s *= scale_factor
+        lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
+    return out
+
+
 def n_pyramid_levels(h: int, w: int,
                      min_face_size: float = MTCNN.min_face_size,
                      scale_factor: float = MTCNN.scale_factor) -> int:
-    """Length of the reference's pyramid ladder for an (h, w) image
-    (the detect.py:277 while-loop's trip count)."""
-    net_size = 12
-    s = net_size / min_face_size
-    n = 0
-    while min(int(np.rint(h * s)), int(np.rint(w * s))) > net_size:
-        n += 1
-        s *= scale_factor
-    return n
+    """Length of the reference's pyramid ladder for an (h, w) image."""
+    return len(_scale_ladder(h, w, min_face_size, scale_factor))
 
 
 @functools.lru_cache(maxsize=256)
@@ -108,19 +117,16 @@ def build_plan(h: int, w: int, min_face_size: float = MTCNN.min_face_size,
     max_levels truncates the ladder (bucketed mode: a padded canvas would
     otherwise grow extra coarse levels the native image never runs).
     """
-    net_size = 12
-    s = net_size / min_face_size
+    ladder = _scale_ladder(h, w, min_face_size, scale_factor)
+    if max_levels is not None:
+        ladder = ladder[:max_levels]
     levels = []
     y = 0
-    lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
-    while min(lh, lw) > net_size and (max_levels is None
-                                      or len(levels) < max_levels):
+    for lh, lw, s in ladder:
         levels.append((lh, lw, y, s))
         y += lh + (lh % 2)  # keep offsets even
-        s *= scale_factor
-        lh, lw = int(np.rint(h * s)), int(np.rint(w * s))
     if not levels:
-        raise ValueError(f"image {h}x{w} smaller than the {net_size}px net")
+        raise ValueError(f"image {h}x{w} smaller than the 12px net")
     atlas_h, atlas_w = y, max(lw_ for _, lw_, _, _ in levels)
     map_h, map_w = _pnet_map_size(atlas_h), _pnet_map_size(atlas_w)
 
@@ -468,8 +474,9 @@ class MTCNNDeviceCascade:
                   max_levels: int | None = None):
         key = (h, w, stage, max_levels)
         if key not in self._jitted:
-            plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
-                              self.cfg.cell_size, self.cfg.stride, max_levels)
+            plan = build_plan(h, w, self.cfg.min_face_size,
+                              self.cfg.scale_factor, self.cfg.cell_size,
+                              self.cfg.stride, max_levels)
             fn = functools.partial(self._cascade, plan, stage=stage)
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -527,8 +534,11 @@ class MTCNNDeviceCascade:
         b, h, w = imgs.shape[:3]
         key = ("batch", b, h, w)
         if key not in self._jitted:
+            # positional max_levels=None keeps the lru_cache key identical to
+            # _compiled's plan for the same shape (6-arg and 7-arg calls key
+            # differently and would build duplicate plans)
             plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
-                              self.cfg.cell_size, self.cfg.stride)
+                              self.cfg.cell_size, self.cfg.stride, None)
             fn = functools.partial(self._cascade, plan)
             self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
         boxes, lm, counts = self._jitted[key](self.vars, jnp.asarray(imgs))

@@ -90,7 +90,10 @@ class BasicConv2d(nn.Module):
     def __call__(self, x, train: bool = False):
         x = conv(self.features, self.kernel, self.stride, self.padding,
                  name="conv", use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        # momentum=1.0 freezes the running stats under train=True, matching
+        # the reference's torch momentum=0 quirk (stats never update,
+        # resnet_inception_v2.py:13)
+        x = nn.BatchNorm(use_running_average=not train, momentum=1.0,
                          epsilon=1e-3, name="bn", dtype=self.dtype)(x)
         return nn.relu(x)
 

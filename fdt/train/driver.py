@@ -43,20 +43,31 @@ def _prefetch_batches(dataset, batch_size: int, depth: int = 3):
     The augmentation pipeline (photometric distort + data-anchor crop) is
     host cv2/numpy work; running it on a worker thread overlaps it with the
     device train step instead of serializing host and TPU.  `depth` bounds
-    the queue so a slow device doesn't pile up batches."""
+    the queue so a slow device doesn't pile up batches.  Worker exceptions
+    (missing image, bad record) re-raise in the consumer — a dead worker must
+    abort the run, not hang it."""
     import queue
     import threading
 
+    if len(dataset) < batch_size:
+        raise ValueError(f"dataset has {len(dataset)} records < batch_size "
+                         f"{batch_size}; no full batch can be built")
     q: queue.Queue = queue.Queue(maxsize=depth)
 
     def worker():
-        while True:
-            for item in dataset.batches(batch_size):
-                q.put(item)
+        try:
+            while True:
+                for item in dataset.batches(batch_size):
+                    q.put(item)
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
-        yield q.get()
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,

@@ -91,7 +91,15 @@ def materialize_variables(shapes, rng):
             return _xavier_kernel(path, leaf.shape, leaf.dtype, rng)
         if name in ("scale", "var"):
             return jnp.ones(leaf.shape, leaf.dtype)
-        return jnp.zeros(leaf.shape, leaf.dtype)
+        if name in ("bias", "mean"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        # bit-identity with the compiled init path only holds for leaves the
+        # rules cover (conv kernels, biases, BN); anything else (Dense
+        # kernels, PReLU slopes, ...) must use the compiled path — failing
+        # loudly beats silently training from zero weights
+        raise ValueError(
+            f"materialize_variables has no rule for leaf "
+            f"{jax.tree_util.keystr(path)}; use init_state(abstract=False)")
 
     return jax.tree_util.tree_map_with_path(make_leaf, shapes)
 
@@ -237,9 +245,13 @@ class LossHistory:
     def drain(self):
         if self.pending:
             vals = np.asarray(jax.device_get(self.pending), np.float64)
-            n = min(len(vals), self.buf.shape[1] - self.idx)
-            self.buf[:, self.idx:self.idx + n] = vals[:n].T
-            self.idx += n
+            if len(vals) > self.buf.shape[1] - self.idx:
+                raise IndexError(
+                    f"{self.idx + len(vals)} loss rows exceed the "
+                    f"save_point={self.buf.shape[1] - 1} buffer; save() "
+                    f"must run at least once per save_point iterations")
+            self.buf[:, self.idx:self.idx + len(vals)] = vals.T
+            self.idx += len(vals)
             self.pending = []
 
     def save(self, path: str):
