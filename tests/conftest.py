@@ -84,3 +84,17 @@ def import_reference(module: str):
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Per-test hang watchdog: this machine's XLA:CPU occasionally deadlocks
+    (idle rendezvous wait); after 15 min a single test dumps every thread's
+    stack and aborts, turning a silent eternal hang into a diagnosable
+    failure.  The slowest legitimate test is ~5 min under load."""
+    import faulthandler
+    faulthandler.dump_traceback_later(900, exit=True)
+    try:
+        yield
+    finally:
+        faulthandler.cancel_dump_traceback_later()
