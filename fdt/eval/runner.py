@@ -106,6 +106,10 @@ def eval_mtcnn(detector, anno_file: str, dump_path: str = "",
     share a handful of compiled cascades instead of one per (h, w), at a
     bounded right/bottom-seam drift (tests/test_mtcnn_device.py)."""
     if bucketed:
+        if not hasattr(detector, "detect_face_bucketed"):
+            raise ValueError(
+                "bucketed=True requires MTCNNDeviceCascade (the host "
+                f"{type(detector).__name__} has no detect_face_bucketed)")
         fn = detector.detect_face_bucketed
     else:
         fn = detector.detect_face

@@ -10,7 +10,6 @@ including its quirk of walking the all-zero class-0 rows when threshold <= 0.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -61,10 +60,21 @@ class PyramidBoxDetector:
         self.precision = precision
         self.budget = budget
         self._mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+        # per-instance jit cache: an lru_cache on the bound method would keep
+        # `self` (device params) alive in a process-global table forever
+        self._jitted: dict = {}
 
-    @functools.lru_cache(maxsize=64)
     def _compiled(self, width: int, height: int, conf_thresh: float,
                   nms_thresh: float):
+        key = (width, height, conf_thresh, nms_thresh)
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = self._jitted[key] = self._build(width, height, conf_thresh,
+                                                 nms_thresh)
+        return fn
+
+    def _build(self, width: int, height: int, conf_thresh: float,
+               nms_thresh: float):
         # source shapes from an abstract trace: exact for every variant,
         # including try4/try5's non-ceil-halving stem/smooth quirks
         from fdt.models.shapes import trace_source_shapes

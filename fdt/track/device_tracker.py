@@ -45,9 +45,9 @@ class _Slots:
     last_box: jnp.ndarray   # [T, 4]
     max_score: jnp.ndarray  # [T]
     length: jnp.ndarray     # [T] i32
-    order: jnp.ndarray      # [T] f32 creation counter (inf = dead)
+    order: jnp.ndarray      # [T] i32 creation counter (_DEAD_ORDER = dead)
     alive: jnp.ndarray      # [T] bool
-    next_key: jnp.ndarray   # [] f32 global creation counter
+    next_key: jnp.ndarray   # [] i32 global creation counter
 
 
 jax.tree_util.register_dataclass(
@@ -55,13 +55,19 @@ jax.tree_util.register_dataclass(
                          "next_key"], meta_fields=[])
 
 
+# Dead-slot sentinel for the int32 creation counter: larger than any live
+# key (a float counter would lose integer precision past 2^24 spawned tracks
+# and silently corrupt visit order on very long streams).
+_DEAD_ORDER = jnp.iinfo(jnp.int32).max
+
+
 def init_slots(t_max: int) -> _Slots:
     return _Slots(last_box=jnp.zeros((t_max, 4), jnp.float32),
                   max_score=jnp.zeros((t_max,), jnp.float32),
                   length=jnp.zeros((t_max,), jnp.int32),
-                  order=jnp.full((t_max,), jnp.inf, jnp.float32),
+                  order=jnp.full((t_max,), _DEAD_ORDER, jnp.int32),
                   alive=jnp.zeros((t_max,), bool),
-                  next_key=jnp.zeros((), jnp.float32))
+                  next_key=jnp.zeros((), jnp.int32))
 
 
 def _iou_row(boxes, ref):
@@ -98,7 +104,7 @@ def _associate_chunk(slots: _Slots, det_boxes, det_scores, det_valid,
     def frame_step(slots, frame):
         boxes, scores, valid = frame
         n = boxes.shape[0]
-        visit = jnp.argsort(jnp.where(slots.alive, slots.order, jnp.inf))
+        visit = jnp.argsort(jnp.where(slots.alive, slots.order, _DEAD_ORDER))
 
         def body(i, carry):
             slots, consumed, assign, finish = carry
@@ -171,10 +177,10 @@ def _associate_chunk(slots: _Slots, det_boxes, det_scores, det_valid,
                                 slots.max_score),
             length=jnp.where(spawn_mask, 1, slots.length),
             order=jnp.where(spawn_mask,
-                            slots.next_key + rank[det_of_slot].astype(jnp.float32),
-                            jnp.where(slots.alive, slots.order, jnp.inf)),
+                            slots.next_key + rank[det_of_slot].astype(jnp.int32),
+                            jnp.where(slots.alive, slots.order, _DEAD_ORDER)),
             alive=slots.alive | spawn_mask,
-            next_key=slots.next_key + jnp.sum(can).astype(jnp.float32))
+            next_key=slots.next_key + jnp.sum(can).astype(jnp.int32))
         return slots, (assign, finish, slot_of, overflow)
 
     return jax.lax.scan(frame_step, slots, (det_boxes, det_scores, det_valid))
@@ -203,6 +209,10 @@ class DeviceIoUTracker:
         need = max([1] + [len(r) for r in rows_list])
         while n < need:
             n *= 2
+        # persist the grown size — otherwise chunks whose max detection count
+        # straddles the old boundary alternate pad widths and thrash the jit
+        # cache with retraces
+        self.pad_n = n
         f = len(rows_list)
         boxes = np.zeros((f, n, 4), np.float32)
         scores = np.zeros((f, n), np.float32)
@@ -222,7 +232,7 @@ class DeviceIoUTracker:
             max_score=jnp.pad(slots.max_score, (0, pad)),
             length=jnp.pad(slots.length, (0, pad)),
             order=jnp.pad(slots.order, (0, pad),
-                          constant_values=jnp.inf),
+                          constant_values=_DEAD_ORDER),
             alive=jnp.pad(slots.alive, (0, pad)),
             next_key=slots.next_key)
 
