@@ -157,6 +157,8 @@ class PyramidTrainer:
         self.input_size = input_size
         self.train_step = jax.jit(self._train_step, donate_argnums=(0,),
                                   static_argnames=("freeze",))
+        # nothing donated: eval must not consume the live train state
+        self._eval_loss_jit = jax.jit(self._eval_loss)
 
     def init_state(self, rng, xavier: bool = True,
                    abstract: bool = False) -> TrainState:
@@ -215,11 +217,20 @@ class PyramidTrainer:
                    "head_loc": parts[2], "head_conf": parts[3]}
         return new_state, metrics
 
-    def eval_loss(self, state: TrainState, images, gt_boxes, gt_labels, gt_valid):
-        """Validation loss (MyTrain_mobile.py:211-230 eval-during-train)."""
-        loss, _ = self._losses(state.params, state.batch_stats, images,
-                               gt_boxes, gt_labels, gt_valid)
+    def _eval_loss(self, params, batch_stats, images, gt_boxes, gt_labels,
+                   gt_valid):
+        loss, _ = self._losses(params, batch_stats, images, gt_boxes,
+                               gt_labels, gt_valid)
         return loss
+
+    def eval_loss(self, state: TrainState, images, gt_boxes, gt_labels, gt_valid):
+        """Validation loss (MyTrain_mobile.py:211-230 eval-during-train).
+
+        One jitted graph — the eager op-by-op dispatch this used to do made
+        the every-`eval_freq` validation pass orders of magnitude slower than
+        a train step at real input sizes."""
+        return self._eval_loss_jit(state.params, state.batch_stats, images,
+                                   gt_boxes, gt_labels, gt_valid)
 
 
 class LossHistory:

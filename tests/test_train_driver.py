@@ -132,6 +132,48 @@ def test_abstract_init_matches_compiled_init(_tiny_trainer_base):
                  jax.device_get(fast.batch_stats), host_state.batch_stats)
 
 
+@pytest.mark.slow
+def test_eval_loss_jitted_and_fast(tiny_trainer, rng):
+    """eval_loss must run as one jitted graph (MyTrain_mobile.py:211-230):
+    the eager op-by-op dispatch it used to do was orders of magnitude slower
+    than a train step at real input sizes.  Forward-only eval, warmed up,
+    must beat the forward+backward train step; eager dispatch at 128² is
+    ~100× slower, so a 3× bound separates the two regimes robustly."""
+    import time
+
+    trainer, state = tiny_trainer
+    images, gb, gl, gv = make_batch(rng)
+
+    # value parity with the eager loss path
+    jitted = trainer.eval_loss(state, images, gb, gl, gv)
+    eager = trainer._eval_loss(state.params, state.batch_stats, images,
+                               gb, gl, gv)
+    np.testing.assert_allclose(float(jitted), float(eager), rtol=1e-5)
+
+    def best_of(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # warm-up compiles (train_step donates state: keep the returned one)
+    state_w, _ = trainer.train_step(state, images, gb, gl, gv, 1e-3)
+    trainer.eval_loss(state_w, images, gb, gl, gv)
+
+    t_eval = best_of(lambda: trainer.eval_loss(state_w, images, gb, gl, gv))
+    # train_step mutates: time it via a fresh sacrificial copy each rep
+    def one_train():
+        nonlocal state_w
+        state_w, m = trainer.train_step(state_w, images, gb, gl, gv, 1e-3)
+        return m["loss"]
+    t_train = best_of(one_train)
+    assert t_eval < 3.0 * t_train, (
+        f"eval_loss {t_eval:.3f}s vs train_step {t_train:.3f}s — eval path "
+        f"looks eager")
+
+
 def test_run_pyramid_training_loop(tmp_path):
     """End-to-end driver loop on a tiny synthetic dataset: prefetched
     batches, lazy LossHistory drain, checkpoint + 5-row loss dump layout."""
