@@ -70,6 +70,118 @@ def _compare_dumps(ours, ref, conf_atol):
     np.testing.assert_array_equal(ours[0], ref[0])        # tf flags bit-equal
 
 
+def _small_anno(tmp_path_factory, sizes, name):
+    """Write downscaled copies of the sample images (distinct native
+    resolutions) + synthetic GT.  Small sizes keep the per-resolution CPU
+    compiles of the ResNet50 graph tractable while still exercising the
+    per-image native-resolution prior rebuild (My_test.py:31-36)."""
+    import cv2
+    rng = np.random.RandomState(3)
+    d = tmp_path_factory.mktemp(name)
+    lines = []
+    for i, (p, (w, h)) in enumerate(zip(SAMPLES, sizes)):
+        img = cv2.resize(cv2.imread(str(p)), (w, h))
+        path = d / f"im_{i}.jpg"
+        cv2.imwrite(str(path), img)
+        n = rng.randint(1, 4)
+        boxes = []
+        for _ in range(n):
+            bw, bh = rng.randint(20, w // 2), rng.randint(20, h // 2)
+            boxes += [rng.randint(0, w - bw), rng.randint(0, h - bh), bw, bh]
+        lines.append(f"{path} {n} " + " ".join(map(str, boxes)))
+    anno = d / "gen_anno_file_mini"
+    anno.write_text("\n".join(lines) + "\n")
+    return str(anno)
+
+
+_PYRAMID_THRESH = 0.3  # draw_curve/log:31-32 eval regime (conf min ~0.35)
+
+
+def _pyramid_ref_detect_fn(net, variant):
+    """In-process CPU replica of My_test.py:22-72 detect_face for `net`."""
+    import torch
+    layers = import_reference("layers")
+
+    def ref_detect(image):
+        h, w, _ = image.shape
+        x = image.astype(np.float32) - np.array([104, 117, 123], np.float32)
+        x = torch.from_numpy(x).permute(2, 0, 1)[None]
+        if variant in ("repo", "try1", "try2"):
+            net.priorbox = layers.PriorBoxLayer(w, h)
+        else:
+            net.priorbox = layers.PriorBoxLayer(
+                w, h, stride=[4, 8, 16, 32, 64], box=(16, 32, 64, 128, 256))
+        net.firstTime = True
+        net.detect = layers.Detect(2, 0, 750, _PYRAMID_THRESH, 0.35)
+        with torch.no_grad():
+            y = net(x)
+        detections = y.data
+        scale = torch.Tensor([w, h, w, h])
+        boxes, scores = [], []
+        for i in range(detections.size(1)):
+            j = 0
+            while detections[0, i, j, 0] >= _PYRAMID_THRESH:
+                scores.append(detections[0, i, j, 0])
+                pt = (detections[0, i, j, 1:] * scale).cpu().numpy()
+                boxes.append([pt[0], pt[1], pt[2], pt[3]])
+                j += 1
+                if j >= detections.size(2):
+                    break
+        det_conf = np.array(scores).astype(np.float64)
+        boxes = np.array(boxes)
+        if boxes.shape[0] == 0:
+            return np.array([[0, 0, 0, 0, 0.4]])
+        return np.column_stack((boxes, det_conf))
+
+    return ref_detect
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["repo", "try1", "try3"])
+def test_pyramid_eval_dump_golden(variant, tmp_path_factory, reference_root):
+    """Flagship-family L3–L5 golden: the full My_test.py pipeline (torch CPU,
+    seeded random weights converted through torch_convert) vs eval_pyramidbox,
+    dump-compared with bit-equal tf rows (My_test.py:163-171 accumulation +
+    the :61-62 sentinel, per-image native-resolution priors at :31-36)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from fdt.eval.runner import eval_pyramidbox
+    from fdt.infer.pyramidbox import PyramidBoxDetector
+    from fdt.models.torch_convert import torch_to_flax
+
+    if variant == "repo":
+        ref_mod, sizes = "pyramid", [(256, 192), (224, 288), (256, 192)]
+        from fdt.models.pyramidbox import PyramidBox
+        model = PyramidBox()
+    else:
+        from tests.test_pyramid_mobile import _REF_MODULES
+        from fdt.models.pyramidbox_mobile import build_pyramidbox
+        ref_mod, sizes = _REF_MODULES[variant], [(256, 192), (224, 288)]
+        model = build_pyramidbox(variant)
+    mod = import_reference(ref_mod)
+    torch.manual_seed(0)
+    builder = getattr(mod, "build_sfd", None) or mod.build_sfd_mobile
+    net = builder("test", 640, 2)
+    net.eval()
+
+    anno = _small_anno(tmp_path_factory, sizes, f"pyr_{variant}")
+    want = _reference_loop(_pyramid_ref_detect_fn(net, variant), anno)
+
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    # 5-map variants allocate 6 face heads but use 5 (reference load_weights
+    # filtered-load semantics) — strict only for the repo net
+    variables = torch_to_flax(sd, template, strict=(variant == "repo"))
+    det = PyramidBoxDetector(variables, model, variant)
+    got = eval_pyramidbox(det, anno, threshold=_PYRAMID_THRESH, progress=False)
+    _compare_dumps(got, want, conf_atol=5e-3)
+
+
 @pytest.mark.slow
 def test_mtcnn_eval_dump_golden(mini_anno, reference_root):
     if not pathlib.Path(MTCNN_P).exists():
