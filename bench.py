@@ -167,7 +167,7 @@ def measure_mtcnn(batch=8, iters=10, h=480, w=640):
 
     @jax.jit
     def run_summed(variables, images):
-        b, lm, cnt = cascade(variables, images)
+        b, lm, cnt, _sat = cascade(variables, images)
         return (jnp.sum(jnp.where(jnp.isfinite(b), b, 0.0))
                 + jnp.sum(cnt)).astype(jnp.float32)
 

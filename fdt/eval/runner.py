@@ -98,13 +98,19 @@ def eval_facebox(detector, anno_file: str, dump_path: str = "", **kw) -> np.ndar
 
 def eval_mtcnn(detector, anno_file: str, dump_path: str = "",
                skip_ids: Sequence[int] = (2852,), bucketed: bool = False,
-               **kw) -> np.ndarray:
+               saturate_fallback=None, **kw) -> np.ndarray:
     """MTCNN/My_test_mtcnn.py protocol (min_face 24 detector, image 2852 skipped).
 
     bucketed=True routes through the device cascade's pad-to-bucket mode
     (MTCNNDeviceCascade.detect_face_bucketed): arbitrary eval resolutions
     share a handful of compiled cascades instead of one per (h, w), at a
-    bounded right/bottom-seam drift (tests/test_mtcnn_device.py)."""
+    bounded right/bottom-seam drift (tests/test_mtcnn_device.py).
+
+    When the device cascade reports budget saturation on an image (a fixed
+    candidate cap may have truncated what the reference's unbounded lists
+    would carry, detect.py:352), a warning is emitted; pass a host
+    MTCNNDetector as `saturate_fallback` to re-detect that image through the
+    unbounded oracle instead."""
     if bucketed:
         if not hasattr(detector, "detect_face_bucketed"):
             raise ValueError(
@@ -116,5 +122,16 @@ def eval_mtcnn(detector, anno_file: str, dump_path: str = "",
 
     def detect(image):
         boxes, _ = fn(image)
+        if getattr(detector, "last_saturated", False):
+            import warnings
+            if saturate_fallback is not None:
+                warnings.warn("device-cascade budget saturated; falling back "
+                              "to the host oracle for this image")
+                boxes, _ = saturate_fallback.detect_face(image)
+            else:
+                warnings.warn("device-cascade budget saturated on an image; "
+                              "detections may be truncated (pass "
+                              "saturate_fallback= to re-run via the host "
+                              "oracle)")
         return boxes if boxes.size else np.empty((0, 5))
     return _run(detect, anno_file, dump_path, skip_ids=skip_ids, **kw)

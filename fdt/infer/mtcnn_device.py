@@ -51,8 +51,10 @@ class DeviceBudgets:
 
     The reference carries unbounded candidate lists between stages; these caps
     change results only when a stage would produce more candidates than its
-    cap (generous for face scenes; bench/tests verify the caps aren't hit on
-    the sample images)."""
+    cap (generous for face scenes).  The cascade emits a `saturated` flag
+    whenever any cap MAY have truncated candidates (crowded scenes), so
+    truncation is never silent — eval warns and can fall back to the host
+    oracle (tests/test_mtcnn_device.py pins both flag polarities)."""
     pnet_cand_k: int = 8192  # above-threshold cells entering per-level PNet NMS
     merge_k: int = 2048      # per-level survivors entering the cross-level NMS
     rnet_k: int = 2048       # crops entering RNet (≥ merge_k: the reference
@@ -373,6 +375,7 @@ class MTCNNDeviceCascade:
         self.vars = jax.device_put({"pnet": pnet_vars, "rnet": rnet_vars,
                                     "onet": onet_vars})
         self._jitted = {}
+        self.last_saturated = False  # updated by every detect_* call
 
     # ----- cascade body (traced once per plan) --------------------------------
     def _cascade(self, plan: PyramidPlan, variables, image, stage: str = "onet"):
@@ -407,6 +410,9 @@ class MTCNNDeviceCascade:
         # above-threshold cells, suppression segmented by level id — every
         # level's independent greedy NMS solved in one fixpoint
         k = min(bud.pnet_cand_k, scores.shape[0])
+        # saturation: a cap may have dropped candidates the reference would
+        # have carried (it feeds unbounded lists between stages, detect.py:352)
+        sat = jnp.sum(scores > -jnp.inf) > k
         top_s, top_i = jax.lax.top_k(scores, k)
         top_b = cell_boxes[top_i]
         top_r = regs[top_i]
@@ -416,16 +422,19 @@ class MTCNNDeviceCascade:
 
         # 4. cross-level merge NMS ('union' 0.6, detect.py:326) + regression
         flat_s = jnp.where(keep, top_s, -jnp.inf)
+        sat |= jnp.sum(flat_s > -jnp.inf) > bud.merge_k   # merge-NMS budget
         kidx, kcnt = nms_padded(top_b, flat_s, cfg.pnet_nms_merge,
                                 budget=bud.merge_k, out_k=bud.merge_k, mode="union")
+        sat |= kcnt == bud.merge_k                        # output block full
         m_valid = jnp.arange(bud.merge_k) < kcnt
         m_scores = jnp.where(m_valid, flat_s[kidx], -jnp.inf)
         p_align = _apply_regression(top_b[kidx], top_r[kidx], m_scores)
         if stage == "pnet":
-            return p_align, p_align[:, :4], kcnt
+            return p_align, p_align[:, :4], kcnt, sat
 
         # 5. RNet (detect.py:352-465)
         r_in = min(bud.rnet_k, bud.merge_k)
+        sat |= kcnt > r_in                                # RNet top-k truncated
         r_scores, r_sel = jax.lax.top_k(m_scores, r_in)
         r_boxes = p_align[r_sel]
         r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, h, w)
@@ -442,11 +451,12 @@ class MTCNNDeviceCascade:
                             r_scores, -jnp.inf)
         kidx, kcnt = nms_padded(r_clamped, r_nms_s, cfg.rnet_nms,
                                 budget=r_in, out_k=bud.onet_k, mode="union")
+        sat |= kcnt == bud.onet_k                         # ONet block full
         o_valid = jnp.arange(bud.onet_k) < kcnt
         o_s = jnp.where(o_valid, r_cls[kidx], -jnp.inf)
         r_align = _apply_regression(r_clamped[kidx], r_reg[kidx], o_s)
         if stage == "rnet":
-            return r_align, r_align[:, :4], kcnt
+            return r_align, r_align[:, :4], kcnt, sat
 
         # 6. ONet (detect.py:467-583)
         o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, h, w)
@@ -467,7 +477,8 @@ class MTCNNDeviceCascade:
 
         kidx, kcnt = nms_padded(o_align[:, :4], f_s, cfg.onet_nms,
                                 budget=bud.onet_k, out_k=bud.out_k, mode="minimum")
-        return o_align[kidx], lm[kidx], kcnt
+        sat |= kcnt == bud.out_k                          # final block full
+        return o_align[kidx], lm[kidx], kcnt, sat
 
     # ----- host API ------------------------------------------------------------
     def _compiled(self, h: int, w: int, stage: str = "onet",
@@ -485,15 +496,23 @@ class MTCNNDeviceCascade:
         """Run the cascade up to `stage` ('pnet'|'rnet'|'onet') → aligned boxes
         [N,5]; parity/debug hook mirroring the reference's per-stage returns."""
         h, w = img.shape[:2]
-        boxes, _, count = self._compiled(h, w, stage)(self.vars, jnp.asarray(img))
+        boxes, _, count, sat = self._compiled(h, w, stage)(self.vars,
+                                                           jnp.asarray(img))
+        self.last_saturated = bool(sat)
         return np.asarray(boxes)[: int(count)]
 
     def detect_face(self, img: np.ndarray):
         """Full cascade → (boxes [N,5], landmarks [N,10]); same contract as the
-        host-path MTCNNDetector.detect_face (detect.py:585-620)."""
+        host-path MTCNNDetector.detect_face (detect.py:585-620).
+
+        After each call, `self.last_saturated` reports whether any fixed
+        candidate budget MAY have truncated candidates on this image (the
+        reference carries unbounded lists, detect.py:352) — crowded scenes
+        should warn or fall back to the host oracle."""
         h, w = img.shape[:2]
         fn = self._compiled(h, w)
-        boxes, lm, count = fn(self.vars, jnp.asarray(img))
+        boxes, lm, count, sat = fn(self.vars, jnp.asarray(img))
+        self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
             return np.array([]), np.array([])
@@ -521,8 +540,9 @@ class MTCNNDeviceCascade:
                                 self.cfg.scale_factor)
         canvas = np.zeros((ch, cw, 3), img.dtype)
         canvas[:h, :w] = img
-        boxes, lm, count = self._compiled(ch, cw, max_levels=n_lv)(
+        boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv)(
             self.vars, jnp.asarray(canvas))
+        self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
             return np.array([]), np.array([])
@@ -530,7 +550,8 @@ class MTCNNDeviceCascade:
 
     def detect_batch(self, imgs: np.ndarray):
         """Batched same-size cascade (vmapped whole pipeline) →
-        (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B])."""
+        (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B],
+        saturated [B] bool)."""
         b, h, w = imgs.shape[:3]
         key = ("batch", b, h, w)
         if key not in self._jitted:
@@ -541,8 +562,9 @@ class MTCNNDeviceCascade:
                               self.cfg.cell_size, self.cfg.stride, None)
             fn = functools.partial(self._cascade, plan)
             self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
-        boxes, lm, counts = self._jitted[key](self.vars, jnp.asarray(imgs))
-        return np.asarray(boxes), np.asarray(lm), np.asarray(counts)
+        boxes, lm, counts, sat = self._jitted[key](self.vars, jnp.asarray(imgs))
+        self.last_saturated = bool(np.asarray(sat).any())
+        return np.asarray(boxes), np.asarray(lm), np.asarray(counts), np.asarray(sat)
 
 
 def load_device_cascade(p_path: str, r_path: str, o_path: str,

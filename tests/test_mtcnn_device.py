@@ -117,6 +117,50 @@ def test_device_cascade_native_size_sweep(host_detector, device_detector,
         assert np.abs(hb[:, 4] - db[j, 4]).max() < 0.08, stem
 
 
+def test_budget_saturation_flag(host_detector, device_detector, test_image):
+    """Silent truncation is impossible: a cascade with tiny budgets on a real
+    multi-face image MUST raise `last_saturated`, and the default budgets on
+    the sample images must NOT (the reference feeds unbounded candidate lists
+    between stages, detect.py:352 — truncation is our deviation to flag)."""
+    from fdt.infer.mtcnn_device import DeviceBudgets
+
+    # default budgets: sample image does not saturate
+    boxes, _ = device_detector.detect_face(test_image)
+    assert boxes.size and device_detector.last_saturated is False
+
+    tiny = MTCNNDeviceCascade(
+        host_detector.vars["pnet"], host_detector.vars["rnet"],
+        host_detector.vars["onet"],
+        budgets=DeviceBudgets(pnet_cand_k=64, merge_k=16, rnet_k=16,
+                              onet_k=8, out_k=4),
+        crop_impl=device_detector.crop_impl,
+        pnet_impl=device_detector.pnet_impl)
+    tiny.detect_face(test_image)
+    assert tiny.last_saturated is True
+
+    # eval runner surfaces it: warns without a fallback, and re-detects
+    # through the host oracle with one
+    import cv2
+    import warnings
+    from fdt.eval.runner import eval_mtcnn
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/im.jpg"
+        cv2.imwrite(p, test_image)
+        anno = f"{td}/anno"
+        with open(anno, "w") as f:
+            f.write(f"{p} 1 10 10 50 50\n")
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            eval_mtcnn(tiny, anno, skip_ids=(), progress=False)
+        assert any("saturated" in str(r.message) for r in rec)
+        dump_fb = eval_mtcnn(tiny, anno, skip_ids=(), progress=False,
+                             saturate_fallback=host_detector)
+        dump_host = eval_mtcnn(host_detector, anno, skip_ids=(),
+                               progress=False)
+        np.testing.assert_allclose(dump_fb, dump_host)
+
+
 def test_device_cascade_empty_image(device_detector):
     """No faces → empty outputs, no crash (reference early-outs, detect.py:601)."""
     blank = np.zeros((240, 320, 3), np.uint8)
@@ -128,7 +172,8 @@ def test_device_batch_consistent(device_detector, test_image):
     """vmapped batch path agrees with the single-image path."""
     single_boxes, _ = device_detector.detect_face(test_image)
     imgs = np.stack([test_image, np.zeros_like(test_image)])
-    boxes, lm, counts = device_detector.detect_batch(imgs)
+    boxes, lm, counts, sat = device_detector.detect_batch(imgs)
+    assert not sat.any()
     assert counts[1] == 0
     assert counts[0] == len(single_boxes)
     np.testing.assert_allclose(boxes[0, :counts[0]], single_boxes,
