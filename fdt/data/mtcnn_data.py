@@ -133,10 +133,15 @@ class GenStats:
 
 def gen_pnet_train_data(anno_file: str, prefix: str, out_dir: str,
                         rng: np.random.RandomState | None = None,
-                        neg_per_image: int = 50) -> GenStats:
+                        neg_per_image: int = 50,
+                        on_patch: Callable | None = None) -> GenStats:
     """Random-crop P-Net patch factory (gen_Pnet_train_data.py:51-169):
     IoU<0.3 negatives, ≥0.65 positives, ≥0.4 part faces, 12² patches with
-    normalized corner offsets.  Writes images + pos_12/neg_12/part_12.txt."""
+    normalized corner offsets.  Writes images + pos_12/neg_12/part_12.txt.
+
+    on_patch(kind, crop_box [4], offsets [4]|None) observes every emitted
+    patch with its source crop geometry (tests verify IoU-bucket membership
+    and offset-label inversion without replaying the sampling loop)."""
     import cv2
     rng = rng or np.random.RandomState(0)
     size_out = 12
@@ -169,6 +174,8 @@ def gen_pnet_train_data(anno_file: str, prefix: str, out_dir: str,
                 path = os.path.join(dirs["negative"], f"{st.neg}.jpg")
                 cv2.imwrite(path, patch)
                 f_neg.write(f"{path} 0\n")
+                if on_patch:
+                    on_patch("neg", crop, None)
                 st.neg += 1
                 neg_num += 1
 
@@ -191,6 +198,8 @@ def gen_pnet_train_data(anno_file: str, prefix: str, out_dir: str,
                     path = os.path.join(dirs["negative"], f"{st.neg}.jpg")
                     cv2.imwrite(path, patch)
                     f_neg.write(f"{path} 0\n")
+                    if on_patch:
+                        on_patch("neg", crop, None)
                     st.neg += 1
             for _ in range(20):  # positives + parts
                 size = rng.randint(int(min(w, h) * 0.8), int(np.ceil(1.25 * max(w, h))))
@@ -211,11 +220,15 @@ def gen_pnet_train_data(anno_file: str, prefix: str, out_dir: str,
                     path = os.path.join(dirs["positive"], f"{st.pos}.jpg")
                     cv2.imwrite(path, patch)
                     f_pos.write(f"{path} 1 %.2f %.2f %.2f %.2f\n" % off)
+                    if on_patch:
+                        on_patch("pos", crop, off)
                     st.pos += 1
                 elif iou >= 0.4:
                     path = os.path.join(dirs["part"], f"{st.part}.jpg")
                     cv2.imwrite(path, patch)
                     f_part.write(f"{path} -1 %.2f %.2f %.2f %.2f\n" % off)
+                    if on_patch:
+                        on_patch("part", crop, off)
                     st.part += 1
     for f in (f_pos, f_neg, f_part):
         f.close()
@@ -224,7 +237,8 @@ def gen_pnet_train_data(anno_file: str, prefix: str, out_dir: str,
 
 def gen_hard_example_data(detect_fn: Callable[[np.ndarray], np.ndarray],
                           anno_file: str, prefix: str, out_dir: str,
-                          image_size: int, neg_cap_per_image: int = 60) -> GenStats:
+                          image_size: int, neg_cap_per_image: int = 60,
+                          on_patch: Callable | None = None) -> GenStats:
     """Hard-example factory for R/O-Net (gen_Rnet_train_data.py:94-229):
     run the previous stage's detector, squarify its boxes, and harvest
     IoU-bucketed 24²/48² patches with corner-offset labels.
@@ -270,6 +284,8 @@ def gen_hard_example_data(detect_fn: Callable[[np.ndarray], np.ndarray],
                 path = os.path.join(dirs["negative"], f"{st.neg}.jpg")
                 cv2.imwrite(path, patch)
                 f_neg.write(f"{path} 0\n")
+                if on_patch:
+                    on_patch("neg", box[:4], None)
                 st.neg += 1
                 neg_num += 1
             else:
@@ -279,11 +295,15 @@ def gen_hard_example_data(detect_fn: Callable[[np.ndarray], np.ndarray],
                     path = os.path.join(dirs["positive"], f"{st.pos}.jpg")
                     cv2.imwrite(path, patch)
                     f_pos.write(f"{path} 1 %.2f %.2f %.2f %.2f\n" % off)
+                    if on_patch:
+                        on_patch("pos", box[:4], off)
                     st.pos += 1
                 elif np.max(iou) >= 0.4:
                     path = os.path.join(dirs["part"], f"{st.part}.jpg")
                     cv2.imwrite(path, patch)
                     f_part.write(f"{path} -1 %.2f %.2f %.2f %.2f\n" % off)
+                    if on_patch:
+                        on_patch("part", box[:4], off)
                     st.part += 1
     for f in (f_pos, f_neg, f_part):
         f.close()
