@@ -171,7 +171,11 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
         keep = pallas_nms_keep(top_boxes, top_valid, iou_thresh, mode=mode)
     elif impl == "pallas_tiled":
         from fdt.ops.pallas_nms import pallas_nms_keep_tiled
-        keep = pallas_nms_keep_tiled(top_boxes, top_valid, iou_thresh, mode=mode)
+        # out_k bounds the kernel's tile sweep: this function only ever
+        # exposes the first out_k keeps, so the kernel may stop once it has
+        # found them (dense-scene dual of the active-prefix early exit)
+        keep = pallas_nms_keep_tiled(top_boxes, top_valid, iou_thresh,
+                                     mode=mode, out_k=out_k)
     else:
         keep = nms_keep_mask(top_boxes, top_valid, iou_thresh, mode=mode)
     # Stable-compact kept entries to the front (they are already score-ordered).

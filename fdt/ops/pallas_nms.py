@@ -67,7 +67,7 @@ def _nms_kernel(boxes_t_ref, valid_ref, thresh_ref, keep_ref, *, mode: str):
 
 
 def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
-                      keep_ref, *, mode: str):
+                      keep_ref, *, mode: str, out_k: int | None = None):
     """Tiled greedy NMS: 128 boxes per step, matmul-form recurrences.
 
     Per tile ti (all in lane form — no transposes anywhere):
@@ -92,6 +92,14 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
     sweeping the full 5000/8192-box budget.  Exact for any validity pattern —
     skipped tiles are all-invalid (keep 0 by init) and later boxes can never
     suppress earlier ones in the greedy recurrence.
+
+    out_k adds the dual early exit for DENSE scenes: a consumer that takes
+    only the first out_k kept boxes (nms_padded's fixed output block — the
+    reference keeps top_k=750 of 5000 candidates) is fully determined once
+    out_k keeps have accumulated, so the tile loop also stops there.  Boxes in
+    unprocessed tiles read keep=0; their true greedy status is unobservable
+    through a first-out_k consumer.  The count such a consumer computes is
+    also exact: it caps at out_k, and ≥out_k keeps were already found.
     """
     n = boxes_s_ref.shape[0]
     tiles = n // _LANES
@@ -127,7 +135,8 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
         return (((inter / denom) >= thresh)
                 & (seg_s == seg_t)).astype(jnp.float32)
 
-    def tile_body(ti, _):
+    def tile_body(carry):
+        ti, kept_so_far = carry
         # tile coords enter pre-sliced at lane offset 0 ([5,128] block of a
         # [5T,128] buffer): Mosaic cannot broadcast a lane-OFFSET row vector
         # across sublanes
@@ -164,20 +173,36 @@ def _nms_kernel_tiled(boxes_s_ref, tiles_ref, valid_ref, thresh_ref,
         keep_t, _, _ = jax.lax.while_loop(
             cond, body, (keep0, 1.0 - keep0, jnp.int32(0)))
         keep_ref[pl.ds(ti, 1), :] = keep_t
-        return 0
+        return ti + 1, kept_so_far + jnp.sum(keep_t)
 
-    jax.lax.fori_loop(0, tiles_active, tile_body, 0)
+    def tile_cond(carry):
+        ti, kept_so_far = carry
+        more = ti < tiles_active
+        if out_k is not None:
+            more &= kept_so_far < float(out_k)
+        return more
+
+    jax.lax.while_loop(tile_cond, tile_body,
+                       (jnp.int32(0), jnp.float32(0.0)))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mode", "interpret", "out_k"))
 def pallas_nms_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
                           mode: str = "union", seg_id: jnp.ndarray | None = None,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          out_k: int | None = None) -> jnp.ndarray:
     """Tiled-kernel greedy-NMS keep mask (same contract as pallas_nms_keep).
 
     seg_id: optional [N] int segment ids — suppression only acts within a
     segment (every segment's greedy NMS solved in one pass, matching
-    nms_keep_mask's seg_id semantics)."""
+    nms_keep_mask's seg_id semantics).
+
+    out_k: static — when set, ONLY the first out_k kept boxes are guaranteed
+    in the mask (tiles past the out_k-th keep read False).  Exact for
+    consumers that take the first out_k keeps (nms_padded); do not combine
+    with seg_id (the cap is global, not per segment)."""
+    assert not (seg_id is not None and out_k is not None), \
+        "out_k early-exit is global; incompatible with per-segment NMS"
     n = boxes.shape[0]
     n_pad = ((n + _LANES - 1) // _LANES) * _LANES
     t = n_pad // _LANES
@@ -196,7 +221,7 @@ def pallas_nms_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thresh,
     thresh = jnp.asarray(iou_thresh, jnp.float32).reshape(1, 1)
 
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel_tiled, mode=mode),
+        functools.partial(_nms_kernel_tiled, mode=mode, out_k=out_k),
         out_shape=jax.ShapeDtypeStruct((t, _LANES), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

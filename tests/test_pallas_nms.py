@@ -71,6 +71,61 @@ def test_pallas_nms_tiled_respects_valid():
     np.testing.assert_array_equal(got, [False, True])
 
 
+@pytest.mark.parametrize("out_k", [16, 100, 750])
+def test_pallas_nms_tiled_out_k_prefix_exact(out_k):
+    """out_k early exit: the first out_k keeps (and everything a first-out_k
+    consumer like nms_padded observes) must be identical to the uncapped
+    kernel, on a DENSE scene where nearly every box is kept (the case that
+    triggers the exit well before the active extent)."""
+    from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    centers = rng.rand(n, 2) * 100          # spread out: most boxes survive
+    wh = rng.rand(n, 2) * 2 + 0.5
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                       1).astype(np.float32))
+    valid = jnp.ones(n, bool)
+    full = np.asarray(pallas_nms_keep_tiled(boxes, valid, 0.5, interpret=True))
+    capped = np.asarray(pallas_nms_keep_tiled(boxes, valid, 0.5,
+                                              interpret=True, out_k=out_k))
+    # prefix property: identical up to and including the out_k-th keep
+    full_idx = np.flatnonzero(full)
+    capped_idx = np.flatnonzero(capped)
+    assert len(capped_idx) >= min(out_k, len(full_idx))
+    m = min(out_k, len(full_idx))
+    np.testing.assert_array_equal(capped_idx[:m], full_idx[:m])
+    # nothing kept that the uncapped kernel would not keep
+    assert not np.any(capped & ~full)
+
+
+def test_nms_padded_out_k_impls_agree():
+    """nms_padded output (keep_idx[:count], count) is bit-identical between
+    the XLA fixpoint and the out_k-capped tiled kernel on a dense scene."""
+    import jax
+    from fdt.geometry.nms import nms_padded
+
+    rng = np.random.RandomState(3)
+    n, out_k = 2048, 128
+    centers = rng.rand(n, 2) * 50
+    wh = rng.rand(n, 2) * 3 + 0.5
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                       1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    ix, cx = nms_padded(boxes, scores, 0.45, budget=n, out_k=out_k, impl="xla")
+    # interpret-mode Pallas via the public entry: monkey-free direct call
+    from fdt.ops.pallas_nms import pallas_nms_keep_tiled
+    top_scores, order = jax.lax.top_k(scores, n)
+    keep = pallas_nms_keep_tiled(boxes[order], top_scores > -jnp.inf, 0.45,
+                                 interpret=True, out_k=out_k)
+    comp = jnp.argsort(~keep, stable=True)
+    count = jnp.minimum(jnp.sum(keep), out_k).astype(jnp.int32)
+    idx = order[comp[:out_k]]
+    assert int(count) == int(cx)
+    np.testing.assert_array_equal(np.asarray(idx)[: int(count)],
+                                  np.asarray(ix)[: int(cx)])
+
+
 @pytest.mark.parametrize("mode", ["union", "minimum"])
 @pytest.mark.parametrize("n", [300, 4500])
 def test_pallas_nms_tiled_segmented(mode, n):
