@@ -321,32 +321,62 @@ def _crop_axis_weights(orig, tmp, n_src: int, out_size: int):
             + (r == (a0 + 1.0)[..., None]) * f[..., None])         # [K, S, n_src]
 
 
-def _crop_resize_batch(img255, h: int, w: int, x1, y1, tmpw, tmph,
-                       out_size: int, impl: str, chunk: int = 256):
-    """[K] boxes → [K, S, S, 3] crops.
+def _chunked_crop_forward(img255, h: int, w: int, x1, y1, tmpw, tmph,
+                          out_size: int, impl: str, apply_fn, out_dims,
+                          active_k, chunk: int = 256):
+    """Fused crop + net forward over [K] candidates, chunked, stopping at the
+    live count.
 
-    impl="matmul": separable interpolation as two MXU contractions, chunked
-    over K to bound the [chunk, S, W, 3] intermediate — ~30× faster than the
-    gather form on TPU, where per-candidate gathers are latency-bound.
-    impl="gather": the 4-tap gather form (faster on CPU backends/tests).
+    impl="matmul": separable interpolation as two MXU contractions (~30×
+    faster than the gather form on TPU, where per-candidate gathers are
+    latency-bound); impl="gather": the 4-tap form (faster on CPU backends).
+
+    The cascade's static budgets (rnet_k=2048 / onet_k=512) make the crop
+    einsums and the RNet/ONet forwards sweep the full budget even when a scene
+    produced a handful of survivors — the dominant cascade cost after PNet
+    (profile: RNet stage 47ms, ONet 30ms of a 116ms batch-8 step at 480×640).
+    Candidates are score-sorted with all live rows first, so a while_loop over
+    `chunk`-sized blocks that stops once ``c*chunk >= active_k`` computes every
+    live candidate exactly (bit-identical crops and net outputs to the full
+    sweep) and skips only blocks that downstream masking (-inf scores past the
+    live count) ignores entirely.  Cost now tracks live candidates, matching
+    the reference's unbounded per-survivor lists (detect.py:352-405) instead of
+    the worst-case cap.  Under vmap (detect_batch) the loop runs to the batch
+    max — per-batch cost is the largest live count, same semantics.
+
+    apply_fn: [chunk, S, S, 3] crops → tuple of [chunk, d] outputs (d from
+    out_dims).  Returns full-[K] buffers (zeros past the live count).
     """
     k = x1.shape[0]
-    if impl == "gather":
-        return jax.vmap(lambda a, b, c, d: _crop_resize(
-            img255, h, w, a, b, c, d, out_size))(x1, y1, tmpw, tmph)
     chunk = min(chunk, k)
-    assert k % chunk == 0, (k, chunk)
+    if k % chunk != 0:
+        chunk = k  # odd custom budgets: one full block (correctness first)
+    bufs = tuple(jnp.zeros((k, d), jnp.float32) for d in out_dims)
 
-    def one(args):
-        cx1, cy1, ctw, cth = args
-        wy = _crop_axis_weights(cy1, cth, h, out_size)             # [c, S, H]
-        wx = _crop_axis_weights(cx1, ctw, w, out_size)             # [c, S, W]
-        rows = jnp.einsum("kyh,hwc->kywc", wy, img255, precision="highest")
-        return jnp.einsum("kxw,kywc->kyxc", wx, rows, precision="highest")
+    def body(carry):
+        c, bufs = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk)
+        cx1, cy1, ctw, cth = sl(x1), sl(y1), sl(tmpw), sl(tmph)
+        if impl == "gather":
+            crops = jax.vmap(lambda a, b, cc, d: _crop_resize(
+                img255, h, w, a, b, cc, d, out_size))(cx1, cy1, ctw, cth)
+        else:
+            wy = _crop_axis_weights(cy1, cth, h, out_size)         # [c, S, H]
+            wx = _crop_axis_weights(cx1, ctw, w, out_size)         # [c, S, W]
+            rows = jnp.einsum("kyh,hwc->kywc", wy, img255, precision="highest")
+            crops = jnp.einsum("kxw,kywc->kyxc", wx, rows, precision="highest")
+        # round like the reference's uint8 crop canvas, then /255 (ToTensor)
+        outs = apply_fn(jnp.round(crops) / 255.0)
+        bufs = tuple(jax.lax.dynamic_update_slice_in_dim(b, o, c * chunk, 0)
+                     for b, o in zip(bufs, outs))
+        return c + 1, bufs
 
-    parts = jax.lax.map(one, tuple(a.reshape(k // chunk, chunk)
-                                   for a in (x1, y1, tmpw, tmph)))
-    return parts.reshape(k, out_size, out_size, 3)
+    def cond(carry):
+        c, _ = carry
+        return c * chunk < active_k
+
+    _, bufs = jax.lax.while_loop(cond, body, (jnp.int32(0), bufs))
+    return bufs
 
 
 class MTCNNDeviceCascade:
@@ -438,11 +468,16 @@ class MTCNNDeviceCascade:
         r_scores, r_sel = jax.lax.top_k(m_scores, r_in)
         r_boxes = p_align[r_sel]
         r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, h, w)
-        # round like the reference's uint8 crop canvas, then /255 (ToTensor)
-        crops24 = jnp.round(_crop_resize_batch(
-            img255, h, w, rx1, ry1, rtw, rth, 24, self.crop_impl)) / 255.0
-        with jax.default_matmul_precision(self.precision):
-            r_cls, r_reg = self.rnet.apply(variables["rnet"], crops24)
+
+        def rnet_apply(crops):
+            with jax.default_matmul_precision(self.precision):
+                return self.rnet.apply(variables["rnet"], crops)
+
+        # top_k put the kcnt live candidates first (-inf sorts last), so the
+        # fused loop computes exactly them and skips masked budget rows
+        r_cls, r_reg = _chunked_crop_forward(
+            img255, h, w, rx1, ry1, rtw, rth, 24, self.crop_impl,
+            rnet_apply, (1, 4), jnp.minimum(kcnt, r_in))
         r_cls = r_cls[:, 0]
         # the reference's RNet NMS orders by the PNet score still in column 4
         # (utils.nms over dets, detect.py:431); the RNet score replaces the
@@ -460,10 +495,14 @@ class MTCNNDeviceCascade:
 
         # 6. ONet (detect.py:467-583)
         o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, h, w)
-        crops48 = jnp.round(_crop_resize_batch(
-            img255, h, w, ox1, oy1, otw, oth, 48, self.crop_impl)) / 255.0
-        with jax.default_matmul_precision(self.precision):
-            o_cls, o_reg, o_lm = self.onet.apply(variables["onet"], crops48)
+
+        def onet_apply(crops):
+            with jax.default_matmul_precision(self.precision):
+                return self.onet.apply(variables["onet"], crops)
+
+        o_cls, o_reg, o_lm = _chunked_crop_forward(
+            img255, h, w, ox1, oy1, otw, oth, 48, self.crop_impl,
+            onet_apply, (1, 4, 10), kcnt, chunk=128)
         o_cls = o_cls[:, 0]
         f_s = jnp.where((o_s > -jnp.inf) & (o_cls > cfg.thresholds[2]),
                         o_cls, -jnp.inf)
