@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Export a TrainState checkpoint (orbax dir) to a compact variables .npz.
+
+The npz holds params (f16) + batch_stats (f32) only — the shippable artifact
+for trained weights (the optimizer state and step stay in the orbax dir).
+
+Example:
+  python scripts/export_weights.py --checkpoint weights_of_mine/try3_pyramid_3000 \
+      --out net_weight/try3_mini.npz --net try3 --check
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+
+from fdt.models.loader import load_variables, save_variables_npz
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True, help="orbax TrainState dir")
+    ap.add_argument("--out", required=True, help="output .npz path")
+    ap.add_argument("--net", default="try3",
+                    help="variant for the optional --check forward")
+    ap.add_argument("--check", action="store_true",
+                    help="reload the npz and run a detection forward on the "
+                         "sample image (CPU)")
+    args = ap.parse_args()
+
+    variables = load_variables(None, args.checkpoint, 0)
+    save_variables_npz(variables, args.out)
+    print(f"wrote {args.out} ({_os.path.getsize(args.out) / 1e6:.1f} MB)")
+
+    if args.check:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import cv2
+        from fdt.models.loader import load_pyramidbox_detector
+        det = load_pyramidbox_detector(args.net, args.out)
+        img = cv2.imread("/root/reference/image_and_anno/test_image/try1/"
+                         "try1_thresh_0.39_13.jpg")
+        img = cv2.resize(img, (640, 640))
+        rows = det.detect_face(img, threshold=0.35)
+        print(f"check: {len(rows)} detections >= 0.35 on the sample image")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ import jax
 from fdt.models.loader import load_variables
 from fdt.models.pyramidbox_mobile import build_pyramidbox
 from fdt.train.driver import TrainConfig, run_pyramid_training
-from fdt.train.loops import PyramidTrainer, TrainState
+from fdt.train.loops import PyramidTrainer
 
 
 def main():
@@ -44,10 +44,11 @@ def main():
                              freeze_predicate=freeze)
     state = trainer.init_state(jax.random.PRNGKey(0))
     if args.resume:
-        variables = load_variables(model, args.resume, trainer.input_size)
-        if isinstance(variables, TrainState):
-            state = variables
-        else:
+        if _os.path.isdir(args.resume):  # orbax: full TrainState (opt + step)
+            from fdt.train.checkpoint import restore_checkpoint
+            state = restore_checkpoint(args.resume, state)
+        else:  # torch .pth / variables .npz: params + batch_stats only
+            variables = load_variables(model, args.resume, trainer.input_size)
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
 

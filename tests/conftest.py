@@ -93,8 +93,27 @@ def pytest_runtest_call(item):
     stack and aborts, turning a silent eternal hang into a diagnosable
     failure.  The slowest legitimate test is ~5 min under load."""
     import faulthandler
-    faulthandler.dump_traceback_later(900, exit=True)
+    faulthandler.dump_traceback_later(900, exit=True, file=_watchdog_stderr())
     try:
         yield
     finally:
         faulthandler.cancel_dump_traceback_later()
+
+
+_WATCHDOG_STDERR = None
+
+
+def _watchdog_stderr():
+    """A stable dump sink for the watchdog.  pytest's fd-level capture
+    redirects fd 2 to per-test temp files, so dumping to sys.stderr sends the
+    tracebacks into a temp that vanishes and the process dies silently
+    (observed: a contended run ended mid-suite with no summary and no dump).
+    Dump to a fixed file instead; its path is printed so the abort is
+    diagnosable."""
+    global _WATCHDOG_STDERR
+    if _WATCHDOG_STDERR is None:
+        import os
+        path = os.environ.get("FDT_WATCHDOG_LOG", "/tmp/fdt_watchdog_dump.log")
+        _WATCHDOG_STDERR = open(path, "a", buffering=1)
+        print(f"[conftest] watchdog aborts dump to {path}")
+    return _WATCHDOG_STDERR

@@ -75,6 +75,33 @@ def test_checkpoint_roundtrip(tiny_trainer, tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_load_variables_from_checkpoint_and_npz(tiny_trainer, tmp_path):
+    """loader front-door: orbax TrainState dir and variables .npz both yield
+    {params, batch_stats} usable by the detectors."""
+    from fdt.models.loader import load_variables, save_variables_npz
+    trainer, state = tiny_trainer
+    path = save_checkpoint(state, str(tmp_path), "try3_pyramid", 3)
+    variables = load_variables(None, path, 128)
+    assert set(variables) >= {"params", "batch_stats"}
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    npz = str(tmp_path / "try3.npz")
+    save_variables_npz(variables, npz)
+    back = load_variables(None, npz, 128)
+    flat_a = jax.tree.leaves(variables["params"])
+    flat_b = jax.tree.leaves(back["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):  # f16 storage tolerance
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(variables["batch_stats"]),
+                    jax.tree.leaves(back["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_xavier_init_statistics():
     variables = {"params": {"conv": {"kernel": np.ones((3, 3, 16, 32), np.float32),
                                      "bias": np.ones(32, np.float32)},
