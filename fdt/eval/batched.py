@@ -19,7 +19,9 @@ Measured seam cost (tests/test_batched_eval_seam.py, 2026-08): an image
 already at its bucket size is BIT-IDENTICAL to the native path; a padded image
 under untrained try3 weights (pessimistic — outputs are noise) kept 85% of
 rows matched at IoU>0.5 with max matched score delta 0.076 and a row-count
-delta of 1/393.  Trained weights drift far less.
+delta of 1/393.  With TRAINED weights (net_weight/try3_mini.npz,
+tests/test_trained_weights.py) the drift all but vanishes: row counts equal,
+100% matched, min matched IoU 0.987, max score delta 0.0039.
 """
 from __future__ import annotations
 

@@ -8,7 +8,9 @@ Two regression bounds:
     2026-08 on try3 @ seed-0 UNTRAINED weights (the pessimistic case — the
     outputs are noise, so seam perturbations scatter maximally): row count
     delta 1/393, 85% of rows matched at IoU>0.5, max matched score delta
-    0.076.  Asserted with margin; a trained net drifts far less.
+    0.076.  Asserted with margin; the trained-weights version
+    (tests/test_trained_weights.py::test_pad_seam_drift_trained) measures the
+    non-pessimistic case: counts equal, 100% matched, Δscore 0.0039.
 """
 import numpy as np
 import pytest
