@@ -565,11 +565,17 @@ class MTCNNDeviceCascade:
         compiled cascades — one per (canvas, ladder-length) pair, the ladder
         truncated to the NATIVE image's level count (a padded canvas would
         otherwise add coarse pyramid levels the reference never runs on this
-        image).  Near-exact vs the native path: the canvas zeros are the same
-        zero-extension the reference's crop canvas reads (detect.py:396-405),
-        the pyramid's cv2 fx-mapping is origin-anchored, and black padding
-        scores under the PNet threshold — drift is confined to pyramid-resize
-        taps that straddle the image's right/bottom seam (bounded by
+        image).  Near-exact vs the native path: the last native row/column is
+        replicated one pixel into the padding, which makes every pyramid level
+        bit-exact over the native extent (a downscale tap for a native-content
+        output pixel reaches at most ONE source pixel past the seam:
+        g = (u+0.5)/fx − 0.5 ≤ w − 0.5 for u < rint(w·fx), so i1 = ⌊g⌋+1 ≤ w,
+        and replicate makes (1−f)·img[w−1] + f·img[w] collapse to img[w−1],
+        exactly cv2's clamped border tap).  The rest of the canvas stays zero
+        — the same zero-extension the reference's crop canvas reads
+        (detect.py:396-405) — so residual drift is confined to PNet windows
+        that STRADDLE the seam (cells the native path structurally lacks),
+        which score under the threshold on black padding (bounded by
         tests/test_mtcnn_device.py on the sample images).
         """
         h, w = img.shape[:2]
@@ -579,6 +585,12 @@ class MTCNNDeviceCascade:
                                 self.cfg.scale_factor)
         canvas = np.zeros((ch, cw, 3), img.dtype)
         canvas[:h, :w] = img
+        if h < ch:
+            canvas[h, :w] = img[h - 1]
+        if w < cw:
+            canvas[:h, w] = img[:, w - 1]
+        if h < ch and w < cw:
+            canvas[h, w] = img[h - 1, w - 1]
         boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv)(
             self.vars, jnp.asarray(canvas))
         self.last_saturated = bool(sat)

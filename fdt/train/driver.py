@@ -37,7 +37,7 @@ class TrainConfig:
     save_folder: str = "weights_of_mine/"
 
 
-def _prefetch_batches(dataset, batch_size: int, depth: int = 3):
+def prefetch_batches(dataset, batch_size: int, depth: int = 3):
     """Endless epoch-shuffled batches, built on a background thread.
 
     The augmentation pipeline (photometric distort + data-anchor crop) is
@@ -82,7 +82,7 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
 
     step_index = 0
     lr = cfg.lr
-    batches = _prefetch_batches(dataset, cfg.batch_size)
+    batches = prefetch_batches(dataset, cfg.batch_size)
     for iteration in range(cfg.start_iter + 1, cfg.total_iters + 1):
         t0 = time.time()
         images, targets = next(batches)

@@ -38,29 +38,28 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), teacher_vars)
 
     dataset = WiderFaceDataset(args.annoPath, size=640)
+    # background-thread augmentation like the main training driver — the
+    # distill step is device-bound, the aug pipeline is host cv2/numpy work
+    from fdt.train.driver import prefetch_batches
+    batches = prefetch_batches(dataset, args.batch_size)
     loss_save = np.zeros(args.save_point + 1)
     idx = 0
-    it = 0
-    while it < args.iter:
-        for images, _ in dataset.batches(args.batch_size):
-            it += 1
-            t0 = time.time()
-            state, metrics = trainer.train_step(state, images, args.lr)
-            loss_save[idx] = float(metrics["loss"])
-            idx += 1
-            if it % 20 == 0:
-                print(f"iter {it} || loss {float(metrics['loss']):.4f} "
-                      f"|| parts {np.asarray(metrics['parts']).round(4)} "
-                      f"|| {time.time() - t0:.2f}s")
-            if it % args.save_point == 0:
-                save_checkpoint(state, args.save_folder,
-                                f"{args.train}_net", it)
-                np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
-                loss_save = np.zeros(args.save_point + 1)
-                idx = 0
-            if it >= args.iter:
-                break
-    save_checkpoint(state, args.save_folder, f"{args.train}_net_final", it)
+    for it in range(1, args.iter + 1):
+        images, _ = next(batches)
+        t0 = time.time()
+        state, metrics = trainer.train_step(state, images, args.lr)
+        loss_save[idx] = float(metrics["loss"])
+        idx += 1
+        if it % 20 == 0:
+            print(f"iter {it} || loss {float(metrics['loss']):.4f} "
+                  f"|| parts {np.asarray(metrics['parts']).round(4)} "
+                  f"|| {time.time() - t0:.2f}s")
+        if it % args.save_point == 0:
+            save_checkpoint(state, args.save_folder, f"{args.train}_net", it)
+            np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
+            loss_save = np.zeros(args.save_point + 1)
+            idx = 0
+    save_checkpoint(state, args.save_folder, f"{args.train}_net_final", args.iter)
 
 
 if __name__ == "__main__":

@@ -21,13 +21,19 @@ import pytest
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
-# Some environments ship accelerator plugins that ignore JAX_PLATFORMS and
-# claim the default backend (e.g. the tunneled single-TPU 'axon' platform).
-# Pin the default device to the virtual 8-device CPU backend explicitly so
-# tests are hermetic and multi-device paths actually see 8 devices.
+# Some environments ship accelerator plugins that ignore the JAX_PLATFORMS
+# env var (jax is pre-imported at interpreter start, so env vars set above
+# are never read) and claim the default backend (e.g. the tunneled single-TPU
+# 'axon' platform).  Worse, merely ENUMERATING backends (jax.devices) blocks
+# on the plugin's remote handshake — a dead tunnel hangs the whole suite at
+# collection.  jax.config.update("jax_platforms", ...) DOES take effect
+# post-import as long as no backend has initialized yet: pin CPU so the
+# accelerator plugin never initializes and the suite is hermetic to tunnel
+# state entirely (same hermeticity fix as __graft_entry__.dryrun_multichip).
 import jax  # noqa: E402
 
 try:
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:  # pragma: no cover
     pass

@@ -127,8 +127,13 @@ def test_xavier_init_deterministic_across_processes():
     from tests.conftest import REPO_ROOT
 
     prog = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        # jax is PRE-IMPORTED at interpreter start in this environment, so the
+        # JAX_PLATFORMS env var is never read; config.update post-import is
+        # the only pin that works, and without it the child initializes the
+        # tunneled TPU plugin — a wedged tunnel then hangs the child (and this
+        # test) forever.  Same hermeticity rule as conftest/dryrun_multichip.
         "import numpy as np, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from fdt.train.loops import xavier_init_variables\n"
         "v = {'params': {'a': {'kernel': np.ones((3,3,4,8), np.float32)},\n"
         "                'b': {'kernel': np.ones((1,1,8,8), np.float32)}}}\n"
@@ -141,7 +146,8 @@ def test_xavier_init_deterministic_across_processes():
     def digest(seed_salt):
         env = dict(os.environ, PYTHONHASHSEED=seed_salt)
         r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
-                           text=True, env=env, cwd=str(REPO_ROOT))
+                           text=True, env=env, cwd=str(REPO_ROOT),
+                           timeout=600)
         assert r.returncode == 0, r.stderr
         return r.stdout.strip().splitlines()[-1]
 
