@@ -258,3 +258,35 @@ def test_bucketed_truncates_ladder():
     native_plan = build_plan(h, w)
     assert ([s for (_, _, _, s) in canvas_plan_trunc.levels]
             == [s for (_, _, _, s) in native_plan.levels])
+
+
+def test_bucketed_seam_replicate_makes_levels_exact():
+    """detect_face_bucketed replicate-pads one row/column past the native
+    seam.  That suffices for bit-exact pyramid levels over the native extent:
+    a downscale tap for a native-content output pixel reaches at most ONE
+    source pixel past the seam (g=(u+0.5)/fx−0.5 ≤ w−0.5 for u < rint(w·fx)),
+    and replicate collapses the straddling lerp to cv2's clamped border tap.
+    Zero padding (the pre-fix behavior) must NOT pass — the hazard is real."""
+    from fdt.infer.mtcnn_device import _resize_level, _scale_ladder
+
+    rng = np.random.RandomState(3)
+    h, w, ch, cw = 230, 300, 256, 384
+    img = (rng.rand(h, w, 3) * 255).astype(np.float32).round()
+    zero_pad = np.zeros((ch, cw, 3), np.float32)
+    zero_pad[:h, :w] = img
+    repl_pad = zero_pad.copy()
+    repl_pad[h, :w] = img[h - 1]
+    repl_pad[:h, w] = img[:, w - 1]
+    repl_pad[h, w] = img[h - 1, w - 1]
+
+    any_zero_drift = False
+    for (nlh, nlw, s) in _scale_ladder(h, w, 12.0, 0.709):
+        clh, clw = int(np.rint(ch * s)), int(np.rint(cw * s))
+        native = np.asarray(_resize_level(jnp.asarray(img), h, w, nlh, nlw, s))
+        repl = np.asarray(_resize_level(jnp.asarray(repl_pad), ch, cw,
+                                        clh, clw, s))[:nlh, :nlw]
+        np.testing.assert_array_equal(repl, native)
+        zero = np.asarray(_resize_level(jnp.asarray(zero_pad), ch, cw,
+                                        clh, clw, s))[:nlh, :nlw]
+        any_zero_drift |= not np.array_equal(zero, native)
+    assert any_zero_drift  # zero padding alone drifts at the seam
