@@ -217,13 +217,31 @@ def measure_train(batch=8, iters=10, size=640):
     targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0], [0.5, 0.5, 0.9, 0.9, 0]],
                         np.float32)] * batch
     gt = jax.device_put(pad_targets(targets, max_gt=8))
+    # FLOPs from the UNCOMPILED lowering (compiling again just for
+    # cost_analysis would repeat the ~10min 640² fwd+bwd compile; lowered
+    # analysis counts the same matmul/conv FLOPs, it only misses fusion —
+    # fine for an MFU estimate)
+    flops = None
+    try:
+        ca = trainer.train_step.lower(state, images, *gt, 1e-4).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     state, metrics = trainer.train_step(state, images, *gt, 1e-4)
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, images, *gt, 1e-4)
     jax.block_until_ready(metrics["loss"])
-    return batch * iters / (time.perf_counter() - t0)
+    dt_s = time.perf_counter() - t0
+    mfu = None
+    if flops:
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if peak:
+            mfu = (flops * iters / dt_s) / peak
+    return batch * iters / dt_s, mfu
 
 
 def measure_dp_scaling(size=128, iters=5):
@@ -526,7 +544,9 @@ def main():
             elif name == "tracker":
                 ips = measure_tracker()
             elif name == "train":
-                ips = measure_train()
+                ips, train_mfu = measure_train()
+                if train_mfu:
+                    _SPREADS["train_mfu"] = round(train_mfu, 4)
             elif name == "dp_scaling":
                 results[name] = measure_dp_scaling()
                 continue
@@ -555,6 +575,8 @@ def main():
                                       else name)}
         if name in _SPREADS:
             entry["spread_pct"] = _SPREADS[name]
+        if name == "train" and "train_mfu" in _SPREADS:
+            entry["mfu"] = _SPREADS["train_mfu"]
         extras[name] = entry
     out = {
         "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
