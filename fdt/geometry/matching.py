@@ -15,10 +15,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fdt.geometry.boxes import point_form, iou_matrix, encode
 
-_SAFE_BOX = jnp.array([0.0, 0.0, 1.0, 1.0])
+# numpy on purpose: a module-level jnp.array would initialize the default
+# backend at IMPORT time — placing a stray constant on whatever accelerator
+# plugin claims the default (before callers can pin a platform), and hanging
+# every `import fdt.train.*` outright when the remote plugin's link is dead.
+# jnp ops convert it at trace time.
+_SAFE_BOX = np.array([0.0, 0.0, 1.0, 1.0], np.float32)
 
 
 def _gather_targets(gt_boxes, gt_labels, gt_valid, priors, variances,

@@ -33,14 +33,24 @@ def main():
     ap.add_argument("--eval_freq", default=0, type=int)
     ap.add_argument("--train_pretrain", default=0, type=int,
                     help="freeze backbone before this iter (mobile nets)")
+    ap.add_argument("--input_size", default=640, type=int,
+                    help="train resolution (reference trains at 640; smaller "
+                         "sizes are for smoke runs on slow backends)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="pin the jax backend (config.update — env vars are "
+                         "not read here, jax is pre-imported); cpu makes the "
+                         "run hermetic to a wedged TPU tunnel")
     ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
     ap.add_argument("--evalAnnoPath", default="./image_and_anno/anno/gen_anno_file_val")
     ap.add_argument("--save_folder", default="weights_of_mine/")
     args = ap.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     model = build_pyramidbox(args.net)
     freeze = (lambda p: "features" in p) if args.net in ("try3", "try4", "try5") else None
     trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
+                             input_size=args.input_size,
                              freeze_predicate=freeze)
     state = trainer.init_state(jax.random.PRNGKey(0))
     if args.resume:
