@@ -257,13 +257,16 @@ def measure_dp_scaling(size=128, iters=5):
     import subprocess
     prog = f"""
 import os
+# each flag appended individually: a pre-set device-count flag must not
+# silently drop the collective-deadlock fail-fast timeouts
 _f = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _f:
-    os.environ["XLA_FLAGS"] = (_f +
-        " --xla_force_host_platform_device_count=8"
-        " --xla_llvm_disable_expensive_passes=true"
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=20"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=90").strip()
+for _flag in ("--xla_force_host_platform_device_count=8",
+              "--xla_llvm_disable_expensive_passes=true",
+              "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
+              "--xla_cpu_collective_call_terminate_timeout_seconds=90"):
+    if _flag.split("=")[0] not in _f:
+        _f += " " + _flag
+os.environ["XLA_FLAGS"] = _f.strip()
 import json, time
 import numpy as np
 import jax

@@ -573,10 +573,13 @@ class MTCNNDeviceCascade:
         and replicate makes (1−f)·img[w−1] + f·img[w] collapse to img[w−1],
         exactly cv2's clamped border tap).  The rest of the canvas stays zero
         — the same zero-extension the reference's crop canvas reads
-        (detect.py:396-405) — so residual drift is confined to PNet windows
-        that STRADDLE the seam (cells the native path structurally lacks),
-        which score under the threshold on black padding (bounded by
-        tests/test_mtcnn_device.py on the sample images).
+        (detect.py:396-405).  Residual drift channels vs the native path:
+        (a) PNet windows that STRADDLE the seam (cells the native path
+        structurally lacks), which score under the threshold on black
+        padding; and (b) RNet/ONet crops whose squared box crosses the seam
+        sample the one replicated row/column where the native path's crop
+        canvas holds zeros — a 1-pixel band of a 24²/48² patch.  Both bounded
+        by tests/test_mtcnn_device.py on the sample images.
         """
         h, w = img.shape[:2]
         ch = -(-h // multiple) * multiple

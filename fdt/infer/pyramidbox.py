@@ -61,8 +61,13 @@ class PyramidBoxDetector:
         self.budget = budget
         self._mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
         # per-instance jit cache: an lru_cache on the bound method would keep
-        # `self` (device params) alive in a process-global table forever
-        self._jitted: dict = {}
+        # `self` (device params) alive in a process-global table forever.
+        # Bounded (LRU) because native-resolution eval sweeps see hundreds of
+        # distinct (w, h) shapes — unbounded retention of one compiled
+        # executable per shape grows memory for the life of the detector.
+        from collections import OrderedDict
+        self._jitted: OrderedDict = OrderedDict()
+        self._jitted_max = 64
 
     def _compiled(self, width: int, height: int, conf_thresh: float,
                   nms_thresh: float):
@@ -71,6 +76,10 @@ class PyramidBoxDetector:
         if fn is None:
             fn = self._jitted[key] = self._build(width, height, conf_thresh,
                                                  nms_thresh)
+            if len(self._jitted) > self._jitted_max:
+                self._jitted.popitem(last=False)
+        else:
+            self._jitted.move_to_end(key)
         return fn
 
     def _build(self, width: int, height: int, conf_thresh: float,

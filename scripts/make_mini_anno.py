@@ -40,7 +40,10 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    # jax_platforms (not jax_default_device): jax.devices() would ENUMERATE
+    # backends, initializing the remote accelerator plugin — a dead tunnel
+    # then hangs the script before it processes a single image
+    jax.config.update("jax_platforms", "cpu")
     from fdt.infer.mtcnn_device import load_device_cascade
 
     dev = load_device_cascade(MTCNN_P, MTCNN_P.replace("pnet", "rnet"),

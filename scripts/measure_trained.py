@@ -131,6 +131,9 @@ def main():
         sx, sy = 640.0 / iw, 640.0 / ih
         r = rows_at(det, cv2.resize(im, (640, 640)), 0.1)
         gt = rec.boxes_xywh.astype(np.float32) * [sx, sy, sx, sy]
+        # the [[0,0,0,0,0.4]] no-detection sentinel is scored as a (guaranteed
+        # false-positive) row on purpose — the reference's eval dump includes
+        # it too (My_test.py:61-62), and this AP follows that exact protocol
         acc.add(r, gt)
     out["mini_val_ap"] = round(float(average_precision(acc.finalize())), 4)
 

@@ -42,8 +42,10 @@ def main():
         cmd = [sys.executable, os.path.join(HERE, "train_pyramid.py"),
                "--net", args.net, "--iter", str(end),
                "--start_iter", str(start),
-               # save exactly at the chunk boundary so the next process
-               # always finds {save_folder}/{name}_{end}
+               # run_pyramid_training saves on absolute iteration %
+               # save_point AND unconditionally at total_iters (driver.py),
+               # so {save_folder}/{name}_{end} exists for every chunk even
+               # when end is not a multiple of (end - start)
                "--save_point", str(end - start),
                "--save_folder", args.save_folder] + passthrough
         if resume:
