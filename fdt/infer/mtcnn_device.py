@@ -253,12 +253,15 @@ def _apply_regression(boxes, reg, scores):
                       scores], axis=1)
 
 
-def _square_round_clamp(boxes, h: int, w: int):
+def _square_round_clamp(boxes, eh, ew):
     """square_bbox + round + pad clamp (detect.py:102-131, 183-244, 414-415).
 
     Returns (clamped [K,4] — what flows onward, exactly like the reference's
     in-place clamp), plus the UNclamped rounded origin/extent the crop sampler
-    needs (the zero-padded `tmp` canvas geometry)."""
+    needs (the zero-padded `tmp` canvas geometry).  eh/ew are the IMAGE extent
+    — traced scalars, so the bucketed path clamps to the native image rather
+    than its padded canvas (reference clamps to the real image, detect.py:
+    414-415) without a per-native-size recompile."""
     bw = boxes[:, 2] - boxes[:, 0] + 1.0
     bh = boxes[:, 3] - boxes[:, 1] + 1.0
     la = jnp.maximum(bw, bh)
@@ -271,17 +274,22 @@ def _square_round_clamp(boxes, h: int, w: int):
     tmpw = x2 - x1 + 1.0
     tmph = y2 - y1 + 1.0
     clamped = jnp.stack([jnp.maximum(x1, 0.0), jnp.maximum(y1, 0.0),
-                         jnp.minimum(x2, float(w - 1)),
-                         jnp.minimum(y2, float(h - 1))], axis=1)
+                         jnp.minimum(x2, ew - 1.0),
+                         jnp.minimum(y2, eh - 1.0)], axis=1)
     return clamped, x1, y1, tmpw, tmph
 
 
-def _crop_resize(image, h: int, w: int, x1, y1, tmpw, tmph, out_size: int):
+def _crop_resize(image, h: int, w: int, x1, y1, tmpw, tmph, out_size: int,
+                 eh=None, ew=None):
     """Bilinear gather replicating zero-pad-crop + cv2.resize (detect.py:396-405).
 
     cv2.resize samples src coord (u+0.5)·(src/dst) − 0.5 clamped to the source
     canvas; the source canvas here is the zero-extended image window starting
-    at (x1, y1) with extent (tmpw, tmph)."""
+    at (x1, y1) with extent (tmpw, tmph).  h/w are the ARRAY dims (static);
+    eh/ew the image extent (traced scalars) — taps past the true image read
+    zero even when the array carries a padded canvas (bucketed mode)."""
+    eh = float(h) if eh is None else eh
+    ew = float(w) if ew is None else ew
     u = jnp.arange(out_size, dtype=jnp.float32) + 0.5
     sx = jnp.clip(u * (tmpw / out_size) - 0.5, 0.0, jnp.maximum(tmpw - 1.0, 0.0))
     sy = jnp.clip(u * (tmph / out_size) - 0.5, 0.0, jnp.maximum(tmph - 1.0, 0.0))
@@ -295,8 +303,8 @@ def _crop_resize(image, h: int, w: int, x1, y1, tmpw, tmph, out_size: int):
     y0 = y0.astype(jnp.int32)
 
     def fetch(yi, xi):
-        iny = (yi >= 0) & (yi < h)
-        inx = (xi >= 0) & (xi < w)
+        iny = (yi >= 0) & (yi.astype(jnp.float32) < eh)
+        inx = (xi >= 0) & (xi.astype(jnp.float32) < ew)
         px = image[jnp.clip(yi, 0, h - 1)[:, None], jnp.clip(xi, 0, w - 1)[None, :]]
         return px * (iny[:, None] & inx[None, :])[..., None]
 
@@ -323,7 +331,7 @@ def _crop_axis_weights(orig, tmp, n_src: int, out_size: int):
 
 def _chunked_crop_forward(img255, h: int, w: int, x1, y1, tmpw, tmph,
                           out_size: int, impl: str, apply_fn, out_dims,
-                          active_k, chunk: int = 256):
+                          active_k, chunk: int = 256, eh=None, ew=None):
     """Fused crop + net forward over [K] candidates, chunked, stopping at the
     live count.
 
@@ -359,10 +367,13 @@ def _chunked_crop_forward(img255, h: int, w: int, x1, y1, tmpw, tmph,
         cx1, cy1, ctw, cth = sl(x1), sl(y1), sl(tmpw), sl(tmph)
         if impl == "gather":
             crops = jax.vmap(lambda a, b, cc, d: _crop_resize(
-                img255, h, w, a, b, cc, d, out_size))(cx1, cy1, ctw, cth)
+                img255, h, w, a, b, cc, d, out_size, eh, ew))(cx1, cy1, ctw, cth)
         else:
             wy = _crop_axis_weights(cy1, cth, h, out_size)         # [c, S, H]
             wx = _crop_axis_weights(cx1, ctw, w, out_size)         # [c, S, W]
+            if eh is not None:  # bucketed canvas: zero taps past the image
+                wy = wy * (jnp.arange(h, dtype=jnp.float32) < eh)
+                wx = wx * (jnp.arange(w, dtype=jnp.float32) < ew)
             rows = jnp.einsum("kyh,hwc->kywc", wy, img255, precision="highest")
             crops = jnp.einsum("kxw,kywc->kyxc", wx, rows, precision="highest")
         # round like the reference's uint8 crop canvas, then /255 (ToTensor)
@@ -408,9 +419,21 @@ class MTCNNDeviceCascade:
         self.last_saturated = False  # updated by every detect_* call
 
     # ----- cascade body (traced once per plan) --------------------------------
-    def _cascade(self, plan: PyramidPlan, variables, image, stage: str = "onet"):
+    def _cascade(self, plan: PyramidPlan, variables, image, extent=None,
+                 stage: str = "onet"):
+        """extent: optional [2] traced (h, w) of the TRUE image inside a padded
+        canvas (bucketed mode).  Crop taps and box clamps then honor the native
+        extent — zero past the seam, clamp to the real image — so one compiled
+        cascade serves every native size exactly.  None (native/batch paths):
+        the array dims ARE the image."""
         cfg, bud = self.cfg, self.budgets
         h, w = plan.h, plan.w
+        if extent is None:
+            eh, ew = float(h), float(w)
+            mask_eh = mask_ew = None    # crop taps bounded by the array dims
+        else:
+            eh, ew = extent[0], extent[1]
+            mask_eh, mask_ew = eh, ew
         img255 = image.astype(jnp.float32)  # integer-valued, like the uint8 source
 
         # 1. pyramid atlas (cv2-exact level resizes, quantized like uint8)
@@ -467,7 +490,7 @@ class MTCNNDeviceCascade:
         sat |= kcnt > r_in                                # RNet top-k truncated
         r_scores, r_sel = jax.lax.top_k(m_scores, r_in)
         r_boxes = p_align[r_sel]
-        r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, h, w)
+        r_clamped, rx1, ry1, rtw, rth = _square_round_clamp(r_boxes, eh, ew)
 
         def rnet_apply(crops):
             with jax.default_matmul_precision(self.precision):
@@ -477,7 +500,8 @@ class MTCNNDeviceCascade:
         # fused loop computes exactly them and skips masked budget rows
         r_cls, r_reg = _chunked_crop_forward(
             img255, h, w, rx1, ry1, rtw, rth, 24, self.crop_impl,
-            rnet_apply, (1, 4), jnp.minimum(kcnt, r_in))
+            rnet_apply, (1, 4), jnp.minimum(kcnt, r_in),
+            eh=mask_eh, ew=mask_ew)
         r_cls = r_cls[:, 0]
         # the reference's RNet NMS orders by the PNet score still in column 4
         # (utils.nms over dets, detect.py:431); the RNet score replaces the
@@ -494,7 +518,7 @@ class MTCNNDeviceCascade:
             return r_align, r_align[:, :4], kcnt, sat
 
         # 6. ONet (detect.py:467-583)
-        o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, h, w)
+        o_clamped, ox1, oy1, otw, oth = _square_round_clamp(r_align, eh, ew)
 
         def onet_apply(crops):
             with jax.default_matmul_precision(self.precision):
@@ -502,7 +526,8 @@ class MTCNNDeviceCascade:
 
         o_cls, o_reg, o_lm = _chunked_crop_forward(
             img255, h, w, ox1, oy1, otw, oth, 48, self.crop_impl,
-            onet_apply, (1, 4, 10), kcnt, chunk=128)
+            onet_apply, (1, 4, 10), kcnt, chunk=128,
+            eh=mask_eh, ew=mask_ew)
         o_cls = o_cls[:, 0]
         f_s = jnp.where((o_s > -jnp.inf) & (o_cls > cfg.thresholds[2]),
                         o_cls, -jnp.inf)
@@ -521,13 +546,17 @@ class MTCNNDeviceCascade:
 
     # ----- host API ------------------------------------------------------------
     def _compiled(self, h: int, w: int, stage: str = "onet",
-                  max_levels: int | None = None):
-        key = (h, w, stage, max_levels)
+                  max_levels: int | None = None, with_extent: bool = False):
+        key = (h, w, stage, max_levels, with_extent)
         if key not in self._jitted:
             plan = build_plan(h, w, self.cfg.min_face_size,
                               self.cfg.scale_factor, self.cfg.cell_size,
                               self.cfg.stride, max_levels)
-            fn = functools.partial(self._cascade, plan, stage=stage)
+            if with_extent:  # bucketed: (variables, image, extent[2])
+                fn = functools.partial(self._cascade, plan, stage=stage)
+            else:            # native: extent pinned to the array dims
+                fn = functools.partial(self._cascade, plan, extent=None,
+                                       stage=stage)
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
@@ -571,15 +600,15 @@ class MTCNNDeviceCascade:
         output pixel reaches at most ONE source pixel past the seam:
         g = (u+0.5)/fx − 0.5 ≤ w − 0.5 for u < rint(w·fx), so i1 = ⌊g⌋+1 ≤ w,
         and replicate makes (1−f)·img[w−1] + f·img[w] collapse to img[w−1],
-        exactly cv2's clamped border tap).  The rest of the canvas stays zero
-        — the same zero-extension the reference's crop canvas reads
-        (detect.py:396-405).  Residual drift channels vs the native path:
-        (a) PNet windows that STRADDLE the seam (cells the native path
-        structurally lacks), which score under the threshold on black
-        padding; and (b) RNet/ONet crops whose squared box crosses the seam
-        sample the one replicated row/column where the native path's crop
-        canvas holds zeros — a 1-pixel band of a 24²/48² patch.  Both bounded
-        by tests/test_mtcnn_device.py on the sample images.
+        exactly cv2's clamped border tap).  RNet/ONet crop taps and box
+        clamps honor the NATIVE extent, passed as a traced [2] scalar — taps
+        past the true image read zero (the reference's zero crop canvas,
+        detect.py:396-405) and boxes clamp to the real image, not the padded
+        canvas, with no per-native-size recompile.  The single residual drift
+        channel vs the native path is PNet windows that STRADDLE the seam
+        (cells the native path structurally lacks), which score under the
+        threshold on black padding (bounded by tests/test_mtcnn_device.py on
+        the sample images).
         """
         h, w = img.shape[:2]
         ch = -(-h // multiple) * multiple
@@ -594,8 +623,10 @@ class MTCNNDeviceCascade:
             canvas[:h, w] = img[:, w - 1]
         if h < ch and w < cw:
             canvas[h, w] = img[h - 1, w - 1]
-        boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv)(
-            self.vars, jnp.asarray(canvas))
+        extent = jnp.asarray([h, w], jnp.float32)
+        boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv,
+                                               with_extent=True)(
+            self.vars, jnp.asarray(canvas), extent)
         self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:

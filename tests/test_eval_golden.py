@@ -67,7 +67,20 @@ def _compare_dumps(ours, ref, conf_atol):
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
     assert ours[1, -1] == ref[1, -1]                      # GT sentinel
     np.testing.assert_allclose(ours[1, :-1], ref[1, :-1], atol=conf_atol)
-    np.testing.assert_array_equal(ours[0], ref[0])        # tf flags bit-equal
+    # tf flags bit-equal positionally — except that the global conf-descending
+    # sort may legitimately swap rows whose confidences differ only by
+    # forward-pass float drift (NCHW vs NHWC).  Such swaps keep the tf
+    # MULTISET intact at near-identical conf, so the PR curve is unchanged
+    # beyond float noise; anything else (a detection gaining/losing its GT
+    # match) changes the multiset and still fails.
+    mism = np.where(ours[0] != ref[0])[0]
+    for grp in np.split(mism, np.where(np.diff(mism) > 1)[0] + 1) if mism.size else []:
+        # a swap is only sort-order ambiguity if the swapped rows' confs are
+        # themselves indistinguishable within tolerance
+        assert ours[1, grp].max() - ours[1, grp].min() <= 2 * conf_atol, \
+            (grp, ours[:, grp], ref[:, grp])
+        assert sorted(ours[0, grp]) == sorted(ref[0, grp]), \
+            (grp, ours[:, grp], ref[:, grp])
 
 
 def _small_anno(tmp_path_factory, sizes, name):
@@ -137,7 +150,8 @@ def _pyramid_ref_detect_fn(net, variant):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("variant", ["repo", "try1", "try3"])
+@pytest.mark.parametrize("variant", ["repo", "try1", "try2", "try3", "try4",
+                                     "try5"])
 def test_pyramid_eval_dump_golden(variant, tmp_path_factory, reference_root):
     """Flagship-family L3–L5 golden: the full My_test.py pipeline (torch CPU,
     seeded random weights converted through torch_convert) vs eval_pyramidbox,
