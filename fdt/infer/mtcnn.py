@@ -15,7 +15,6 @@ the (tiny, data-dependent) candidate bookkeeping on host:
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -124,22 +123,22 @@ class MTCNNDetector:
         # otherwise re-upload over the host link on every jitted call
         self.vars = jax.device_put({"pnet": pnet_vars, "rnet": rnet_vars,
                                     "onet": onet_vars})
+        # jitted forwards (shape-bucketed) as per-instance closures: a jitted
+        # METHOD with static `self` would pin every detector instance (and its
+        # device params) in the process-global jit cache forever — the same
+        # retention hazard fixed in PyramidBoxDetector
+        self._pnet_fwd = self._make_fwd(self.pnet)
+        self._rnet_fwd = self._make_fwd(self.rnet)
+        self._onet_fwd = self._make_fwd(self.onet)
 
-    # --- jitted forwards (shape-bucketed) -------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _pnet_fwd(self, variables, x):
-        with jax.default_matmul_precision(self.precision):
-            return self.pnet.apply(variables, x)
+    def _make_fwd(self, model):
+        precision = self.precision  # capture the value, not self
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _rnet_fwd(self, variables, x):
-        with jax.default_matmul_precision(self.precision):
-            return self.rnet.apply(variables, x)
+        def fwd(variables, x):
+            with jax.default_matmul_precision(precision):
+                return model.apply(variables, x)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _onet_fwd(self, variables, x):
-        with jax.default_matmul_precision(self.precision):
-            return self.onet.apply(variables, x)
+        return jax.jit(fwd)
 
     def _run_pnet_level(self, im_resized: np.ndarray):
         """One pyramid level with bucket padding + valid-cell masking."""

@@ -415,31 +415,52 @@ class MTCNNDeviceCascade:
         # otherwise re-upload over the host link on every jitted call
         self.vars = jax.device_put({"pnet": pnet_vars, "rnet": rnet_vars,
                                     "onet": onet_vars})
-        self._jitted = {}
+        # bounded LRU (same hazard as PyramidBoxDetector._jitted): a
+        # native-resolution eval sweep compiles one cascade per distinct
+        # (h, w) — unbounded retention grows process memory for the life of
+        # the detector.  Bucketed/fixed-size streams use a handful of keys
+        # and never evict.
+        from collections import OrderedDict
+        self._jitted: "OrderedDict" = OrderedDict()
+        self._jitted_max = 64
         self.last_saturated = False  # updated by every detect_* call
 
     # ----- cascade body (traced once per plan) --------------------------------
     def _cascade(self, plan: PyramidPlan, variables, image, extent=None,
                  stage: str = "onet"):
-        """extent: optional [2] traced (h, w) of the TRUE image inside a padded
-        canvas (bucketed mode).  Crop taps and box clamps then honor the native
-        extent — zero past the seam, clamp to the real image — so one compiled
-        cascade serves every native size exactly.  None (native/batch paths):
-        the array dims ARE the image."""
+        """extent: optional traced pair ([2] native (h, w), [L, 2] native
+        pyramid-level (lh, lw)) of the TRUE image inside a padded canvas
+        (bucketed mode).  Crop taps and box clamps then honor the native
+        extent — zero past the seam, clamp to the real image — and each
+        atlas level is zeroed past its native extent, so one compiled
+        cascade serves every native size.  None (native/batch paths): the
+        array dims ARE the image."""
         cfg, bud = self.cfg, self.budgets
         h, w = plan.h, plan.w
         if extent is None:
             eh, ew = float(h), float(w)
             mask_eh = mask_ew = None    # crop taps bounded by the array dims
+            level_hw = None
         else:
-            eh, ew = extent[0], extent[1]
+            eh, ew = extent[0][0], extent[0][1]
+            level_hw = extent[1]
             mask_eh, mask_ew = eh, ew
         img255 = image.astype(jnp.float32)  # integer-valued, like the uint8 source
 
         # 1. pyramid atlas (cv2-exact level resizes, quantized like uint8)
         atlas = jnp.zeros((plan.atlas_h, plan.atlas_w, 3), jnp.float32)
-        for (lh, lw, y_off, s) in plan.levels:
+        for li, (lh, lw, y_off, s) in enumerate(plan.levels):
             lvl = _resize_level(img255, h, w, lh, lw, s)
+            if level_hw is not None:
+                # zero each level past the NATIVE level extent (host-computed
+                # with the exact cv2 rint ladder, passed in as traced values):
+                # cells whose 12×12 window lies inside the native level are
+                # untouched, while seam-straddling windows see pure black —
+                # the replicated canvas row/column feeds the resize taps but
+                # never reaches PNet
+                rm = jnp.arange(lh, dtype=jnp.float32) < level_hw[li, 0]
+                cm = jnp.arange(lw, dtype=jnp.float32) < level_hw[li, 1]
+                lvl = lvl * (rm[:, None] & cm[None, :])[..., None]
             atlas = jax.lax.dynamic_update_slice(atlas, lvl, (y_off, 0, 0))
 
         # 2. one PNet forward over the atlas
@@ -552,12 +573,16 @@ class MTCNNDeviceCascade:
             plan = build_plan(h, w, self.cfg.min_face_size,
                               self.cfg.scale_factor, self.cfg.cell_size,
                               self.cfg.stride, max_levels)
-            if with_extent:  # bucketed: (variables, image, extent[2])
+            if with_extent:  # bucketed: (variables, image, extent pytree)
                 fn = functools.partial(self._cascade, plan, stage=stage)
             else:            # native: extent pinned to the array dims
                 fn = functools.partial(self._cascade, plan, extent=None,
                                        stage=stage)
             self._jitted[key] = jax.jit(fn)
+            if len(self._jitted) > self._jitted_max:
+                self._jitted.popitem(last=False)
+        else:
+            self._jitted.move_to_end(key)
         return self._jitted[key]
 
     def detect_stage(self, img: np.ndarray, stage: str):
@@ -594,21 +619,31 @@ class MTCNNDeviceCascade:
         compiled cascades — one per (canvas, ladder-length) pair, the ladder
         truncated to the NATIVE image's level count (a padded canvas would
         otherwise add coarse pyramid levels the reference never runs on this
-        image).  Near-exact vs the native path: the last native row/column is
-        replicated one pixel into the padding, which makes every pyramid level
-        bit-exact over the native extent (a downscale tap for a native-content
-        output pixel reaches at most ONE source pixel past the seam:
-        g = (u+0.5)/fx − 0.5 ≤ w − 0.5 for u < rint(w·fx), so i1 = ⌊g⌋+1 ≤ w,
-        and replicate makes (1−f)·img[w−1] + f·img[w] collapse to img[w−1],
-        exactly cv2's clamped border tap).  RNet/ONet crop taps and box
-        clamps honor the NATIVE extent, passed as a traced [2] scalar — taps
-        past the true image read zero (the reference's zero crop canvas,
-        detect.py:396-405) and boxes clamp to the real image, not the padded
-        canvas, with no per-native-size recompile.  The single residual drift
-        channel vs the native path is PNet windows that STRADDLE the seam
-        (cells the native path structurally lacks), which score under the
-        threshold on black padding (bounded by tests/test_mtcnn_device.py on
-        the sample images).
+        image).  Near-exact vs the native path, by construction:
+
+        * the last native row/column is replicated one pixel into the canvas
+          so the resize taps of native-content output pixels see the image
+          (a downscale tap reaches at most ONE source pixel past the seam:
+          g = (u+0.5)/fx − 0.5 ≤ w − 0.5 for u < rint(w·fx), so i1 ≤ w, and
+          replicate makes (1−f)·img[w−1] + f·img[w] collapse to img[w−1],
+          cv2's clamped border tap);
+        * every atlas level is zeroed past its NATIVE level extent (exact
+          host-computed ladder, traced in), so seam-straddling PNet windows
+          see pure black — the replicated band never reaches PNet;
+        * RNet/ONet crop taps and box clamps honor the native extent — taps
+          past the true image read zero (the reference's zero crop canvas,
+          detect.py:396-405) and boxes clamp to the real image;
+
+        all with no per-native-size recompile.  Residual drift channels:
+        (a) PNet windows straddling the seam (cells the native path
+        structurally lacks) can fire on mixed content/black — same as any
+        zero extension; (b) the level resize runs as a canvas-sized (not
+        native-sized) float32 contraction, so values within ~1 ulp of a
+        rounding half-integer can quantize differently (≈1e-7 of pixels,
+        |Δ| = 1 gray level) and nudge a PNet score.  Detections are
+        bit-identical to the native path on the sample-image suite
+        (tests/test_mtcnn_device.py), but exact equality is NOT a general
+        guarantee — near-threshold or near-tie images can differ.
         """
         h, w = img.shape[:2]
         ch = -(-h // multiple) * multiple
@@ -623,7 +658,12 @@ class MTCNNDeviceCascade:
             canvas[:h, w] = img[:, w - 1]
         if h < ch and w < cw:
             canvas[h, w] = img[h - 1, w - 1]
-        extent = jnp.asarray([h, w], jnp.float32)
+        # native pyramid-level extents, host-computed with the exact cv2 rint
+        # ladder (bit-identical to the native plan's level sizes)
+        ladder = _scale_ladder(h, w, self.cfg.min_face_size,
+                               self.cfg.scale_factor)[:n_lv]
+        level_hw = np.array([(lh, lw) for lh, lw, _ in ladder], np.float32)
+        extent = (jnp.asarray([h, w], jnp.float32), jnp.asarray(level_hw))
         boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv,
                                                with_extent=True)(
             self.vars, jnp.asarray(canvas), extent)
@@ -647,6 +687,10 @@ class MTCNNDeviceCascade:
                               self.cfg.cell_size, self.cfg.stride, None)
             fn = functools.partial(self._cascade, plan)
             self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
+            if len(self._jitted) > self._jitted_max:
+                self._jitted.popitem(last=False)
+        else:
+            self._jitted.move_to_end(key)
         boxes, lm, counts, sat = self._jitted[key](self.vars, jnp.asarray(imgs))
         self.last_saturated = bool(np.asarray(sat).any())
         return np.asarray(boxes), np.asarray(lm), np.asarray(counts), np.asarray(sat)

@@ -45,7 +45,12 @@ def prefetch_batches(dataset, batch_size: int, depth: int = 3):
     device train step instead of serializing host and TPU.  `depth` bounds
     the queue so a slow device doesn't pile up batches.  Worker exceptions
     (missing image, bad record) re-raise in the consumer — a dead worker must
-    abort the run, not hang it."""
+    abort the run, not hang it.
+
+    Closing the generator (`.close()`, garbage collection, or the consumer
+    loop ending via GeneratorExit) stops the worker thread: without that, a
+    daemon worker blocked in q.put would outlive the training run, pinning
+    the dataset plus `depth` augmented batches for the rest of the process."""
     import queue
     import threading
 
@@ -53,21 +58,32 @@ def prefetch_batches(dataset, batch_size: int, depth: int = 3):
         raise ValueError(f"dataset has {len(dataset)} records < batch_size "
                          f"{batch_size}; no full batch can be built")
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
 
     def worker():
         try:
-            while True:
+            while not stop.is_set():
                 for item in dataset.batches(batch_size):
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
         except BaseException as e:  # noqa: BLE001 — relayed to the consumer
             q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
@@ -80,9 +96,18 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
     history = LossHistory(cfg.save_point)
     eval_losses: list[float] = []
 
+    batches = prefetch_batches(dataset, cfg.batch_size)
+    try:
+        return _training_loop(trainer, state, batches, cfg, val_dataset,
+                              history, eval_losses, log)
+    finally:
+        batches.close()  # stop the prefetch worker (see prefetch_batches)
+
+
+def _training_loop(trainer, state, batches, cfg, val_dataset, history,
+                   eval_losses, log):
     step_index = 0
     lr = cfg.lr
-    batches = prefetch_batches(dataset, cfg.batch_size)
     for iteration in range(cfg.start_iter + 1, cfg.total_iters + 1):
         t0 = time.time()
         images, targets = next(batches)

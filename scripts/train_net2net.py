@@ -44,21 +44,24 @@ def main():
     batches = prefetch_batches(dataset, args.batch_size)
     loss_save = np.zeros(args.save_point + 1)
     idx = 0
-    for it in range(1, args.iter + 1):
-        images, _ = next(batches)
-        t0 = time.time()
-        state, metrics = trainer.train_step(state, images, args.lr)
-        loss_save[idx] = float(metrics["loss"])
-        idx += 1
-        if it % 20 == 0:
-            print(f"iter {it} || loss {float(metrics['loss']):.4f} "
-                  f"|| parts {np.asarray(metrics['parts']).round(4)} "
-                  f"|| {time.time() - t0:.2f}s")
-        if it % args.save_point == 0:
-            save_checkpoint(state, args.save_folder, f"{args.train}_net", it)
-            np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
-            loss_save = np.zeros(args.save_point + 1)
-            idx = 0
+    try:
+        for it in range(1, args.iter + 1):
+            images, _ = next(batches)
+            t0 = time.time()
+            state, metrics = trainer.train_step(state, images, args.lr)
+            loss_save[idx] = float(metrics["loss"])
+            idx += 1
+            if it % 20 == 0:
+                print(f"iter {it} || loss {float(metrics['loss']):.4f} "
+                      f"|| parts {np.asarray(metrics['parts']).round(4)} "
+                      f"|| {time.time() - t0:.2f}s")
+            if it % args.save_point == 0:
+                save_checkpoint(state, args.save_folder, f"{args.train}_net", it)
+                np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
+                loss_save = np.zeros(args.save_point + 1)
+                idx = 0
+    finally:
+        batches.close()  # stop the prefetch worker thread
     save_checkpoint(state, args.save_folder, f"{args.train}_net_final", args.iter)
 
 

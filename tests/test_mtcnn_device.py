@@ -218,12 +218,13 @@ def test_cascade_s2d_impl_matches_direct(device_detector, test_image):
 
 def test_bucketed_matches_native(device_detector, reference_root):
     """Pad-to-bucket detect vs the native-resolution cascade: with the seam
-    row/column replicate-padded (pyramid levels bit-exact over the native
-    extent) and crop taps / box clamps honoring the native extent via the
-    traced scalar, detections are BIT-IDENTICAL on these images.  The one
-    structural drift channel left — PNet windows straddling the seam, which
-    the native path lacks — stays sub-threshold on black padding here; a
-    failure of the exact compare would mean that channel fired."""
+    row/column replicate-padded, atlas levels zeroed past their native
+    extents, and crop taps / box clamps honoring the native extent via
+    traced scalars, detections are BIT-IDENTICAL on these pinned images.
+    That is an empirical pin, not a general guarantee — the residual
+    channels (seam-straddling PNet windows; half-integer rounding ties
+    under the canvas-sized contraction, see the detect_face_bucketed
+    docstring) can differ on unlucky images."""
     import cv2
 
     files = sorted((reference_root / "image_and_anno/test_image/try1")
@@ -255,13 +256,16 @@ def test_bucketed_truncates_ladder():
             == [s for (_, _, _, s) in native_plan.levels])
 
 
-def test_bucketed_seam_replicate_makes_levels_exact():
+def test_bucketed_seam_replicate_levels_near_exact():
     """detect_face_bucketed replicate-pads one row/column past the native
-    seam.  That suffices for bit-exact pyramid levels over the native extent:
-    a downscale tap for a native-content output pixel reaches at most ONE
-    source pixel past the seam (g=(u+0.5)/fx−0.5 ≤ w−0.5 for u < rint(w·fx)),
-    and replicate collapses the straddling lerp to cv2's clamped border tap.
-    Zero padding (the pre-fix behavior) must NOT pass — the hazard is real."""
+    seam, making the resize taps of native-content pixels read image data
+    (a downscale tap reaches at most ONE source pixel past the seam, and
+    replicate collapses the straddling lerp to cv2's clamped border tap).
+    The canvas-sized float32 contraction may still reassociate sums, so
+    values within ~1 ulp of a rounding half-integer can quantize one gray
+    level apart — rare (≈1e-7 of pixels over random images) and bounded by
+    |Δ| = 1.  Zero padding (the pre-fix behavior) drifts by MANY gray levels
+    at the seam — the hazard the replicate pad removes."""
     from fdt.infer.mtcnn_device import _resize_level, _scale_ladder
 
     rng = np.random.RandomState(3)
@@ -274,14 +278,19 @@ def test_bucketed_seam_replicate_makes_levels_exact():
     repl_pad[:h, w] = img[:, w - 1]
     repl_pad[h, w] = img[h - 1, w - 1]
 
-    any_zero_drift = False
+    zero_max_drift = 0.0
+    repl_diffs, n_px = 0, 0
     for (nlh, nlw, s) in _scale_ladder(h, w, 12.0, 0.709):
         clh, clw = int(np.rint(ch * s)), int(np.rint(cw * s))
         native = np.asarray(_resize_level(jnp.asarray(img), h, w, nlh, nlw, s))
         repl = np.asarray(_resize_level(jnp.asarray(repl_pad), ch, cw,
                                         clh, clw, s))[:nlh, :nlw]
-        np.testing.assert_array_equal(repl, native)
+        d = np.abs(repl - native)
+        assert d.max() <= 1.0  # only half-integer rounding ties may flip
+        repl_diffs += int((d > 0).sum())
+        n_px += native.size
         zero = np.asarray(_resize_level(jnp.asarray(zero_pad), ch, cw,
                                         clh, clw, s))[:nlh, :nlw]
-        any_zero_drift |= not np.array_equal(zero, native)
-    assert any_zero_drift  # zero padding alone drifts at the seam
+        zero_max_drift = max(zero_max_drift, float(np.abs(zero - native).max()))
+    assert repl_diffs <= max(3, n_px // 100_000), (repl_diffs, n_px)
+    assert zero_max_drift > 10.0  # zero padding: real content drift at the seam
