@@ -240,3 +240,36 @@ def test_run_pyramid_training_loop(tmp_path):
     assert (tmp_path / "tiny_eval_loss_2.npy").exists()
     import os
     assert any("tiny" in f and "4" in f for f in os.listdir(tmp_path))
+
+
+def test_prefetch_batches_shutdown():
+    """Closing the prefetch generator must stop the worker thread — otherwise
+    every finished training run leaks a daemon thread blocked in q.put,
+    pinning the dataset and `depth` augmented batches for the process
+    lifetime."""
+    import threading
+    import time
+
+    from fdt.train.driver import prefetch_batches
+
+    class TinyDataset:
+        def __len__(self):
+            return 8
+
+        def batches(self, batch_size):
+            while True:
+                yield (np.zeros((batch_size, 8, 8, 3), np.float32),
+                       [np.zeros((1, 5), np.float32)] * batch_size)
+
+    before = {t.ident for t in threading.enumerate()}
+    gen = prefetch_batches(TinyDataset(), 2, depth=2)
+    next(gen)                      # worker running, queue filling
+    worker = [t for t in threading.enumerate() if t.ident not in before]
+    assert worker, "prefetch worker thread not found"
+    gen.close()
+    for _ in range(50):            # worker's put timeout is 0.2s
+        if not any(t.is_alive() for t in worker):
+            break
+        time.sleep(0.1)
+    assert not any(t.is_alive() for t in worker), \
+        "prefetch worker still alive after close()"
