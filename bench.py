@@ -308,17 +308,22 @@ print(json.dumps({{"n1_ms": round(t1 * 1e3, 1), "n8_ms": round(t8 * 1e3, 1),
     return out
 
 
-def measure_tracker(iters=3, frames=64, batch=16):
+def measure_tracker(iters=3, frames=64, batch=16, device=False):
     """Offline tracking FPS (iouTracke_cal.py protocol, 640×480 frames).
 
     Offline means the frame axis batches: detection runs on device in
-    batch-16 chunks, then the greedy IoU association (host, sequential by
-    construction — each frame's matches consume detections) replays per
-    frame.  The reference runs detect+associate strictly per frame on GPU."""
+    batch-16 chunks, then the greedy IoU association replays per frame.
+    device=False: association fully on host (sequential by construction —
+    each frame's matches consume detections).  device=True: the association
+    decisions run as one jitted lax.scan per 16-frame chunk
+    (fdt.track.device_tracker, bit-parity tested vs the host tracker), the
+    host only replays the emitted assignment records.  The reference runs
+    detect+associate strictly per frame on GPU."""
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector, detections_to_rows
     from fdt.models.pyramidbox_mobile import build_pyramidbox
+    from fdt.track.device_tracker import DeviceIoUTracker
     from fdt.track.iou_tracker import IoUTracker
 
     model = build_pyramidbox("repo", dtype=jnp.bfloat16)
@@ -329,23 +334,31 @@ def measure_tracker(iters=3, frames=64, batch=16):
     run = det._compiled(640, 480, 0.4, 0.35)
     staged = jax.device_put(np.broadcast_to(frame, (batch, 480, 640, 3)).copy())
     np.asarray(run(det.variables, staged))  # compile
+    make_tracker = DeviceIoUTracker if device else IoUTracker
+    if device:  # compile the association chunk outside the timed region
+        warm = make_tracker()
+        warm.step_chunk([np.zeros((32, 5), np.float32)] * batch)
     t0 = time.perf_counter()
     n = 0
     for _ in range(iters):
-        tracker = IoUTracker()
+        tracker = make_tracker()
         for _c in range(frames // batch):
             out = np.asarray(run(det.variables, staged))
-            for f in range(batch):
-                rows = detections_to_rows(out[f], 0.4, [640, 480, 640, 480])
-                # untrained weights pass the 0.4 floor en masse; cap to a
-                # realistic tracking-scene density so the host association
-                # cost reflects real scenes, not the random-init artifact.
-                # Measured with TRAINED try3 weights on the 12-face crowd
-                # scene: 17-18 detections/frame at the 0.4 floor
-                # (tests/test_trained_weights.py) — the 32 cap is above
-                # real-scene density, not below it.
-                tracker.step(rows[:32])
-                n += 1
+            # untrained weights pass the 0.4 floor en masse; cap to a
+            # realistic tracking-scene density so the association cost
+            # reflects real scenes, not the random-init artifact.  Measured
+            # with TRAINED try3 weights on the 12-face crowd scene: 17-18
+            # detections/frame at the 0.4 floor
+            # (tests/test_trained_weights.py) — the 32 cap is above
+            # real-scene density, not below it.
+            rows_chunk = [detections_to_rows(out[f], 0.4, [640, 480, 640, 480])[:32]
+                          for f in range(batch)]
+            if device:
+                tracker.step_chunk(rows_chunk)
+            else:
+                for rows in rows_chunk:
+                    tracker.step(rows)
+            n += batch
     return n / (time.perf_counter() - t0)
 
 
@@ -491,6 +504,30 @@ def get_baselines(refresh=False):
     return cache
 
 
+def _probe_device(timeout=300):
+    """Probe the accelerator from a CHILD process with a hard timeout.
+
+    The tunneled TPU in this environment can wedge entirely (device
+    enumeration or the first transfer blocks inside native code, unkillable
+    from Python — observed outages of 1h+).  A wedged tunnel must yield a
+    fast, explicit bench failure instead of hanging the driver's capture.
+    Returns None when healthy, else a one-line reason.  The generous timeout
+    covers the plugin's legitimate >60s init idle on a healthy tunnel."""
+    import subprocess
+    prog = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((128, 128))\n"
+            "print(jax.devices()[0].platform, float((x @ x).sum()))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", prog], timeout=timeout,
+                           capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return f"device probe hung >{timeout}s (wedged accelerator tunnel)"
+    if r.returncode != 0:
+        return f"device probe exited rc={r.returncode}: {r.stderr[-300:]}"
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -503,11 +540,26 @@ def main():
                     help="NMS candidate budget (5000 = reference nms_top_k)")
     ap.add_argument("--configs", default="all",
                     help="comma list of flagship,facebox,mtcnn,try1,try3,"
-                         "tracker,train,dp_scaling")
+                         "tracker,tracker_device,try3_trained,train,"
+                         "dp_scaling")
     ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the wedged-tunnel device probe")
     args = ap.parse_args()
 
-    want = (list(BASELINE_FNS) + ["try3_trained", "dp_scaling"]
+    if not args.no_probe:
+        err = _probe_device()
+        if err:
+            # one honest JSON line, nonzero exit: the device is unreachable,
+            # which is an environment outage, not a framework regression
+            print(json.dumps({
+                "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
+                "value": None, "unit": "images/s", "vs_baseline": None,
+                "error": err}))
+            sys.exit(1)
+
+    want = (list(BASELINE_FNS) + ["tracker_device", "try3_trained",
+                                  "dp_scaling"]
             if args.configs == "all"
             else [c.strip() for c in args.configs.split(",")])
     baselines = get_baselines(refresh=args.measure_baseline)
@@ -546,6 +598,8 @@ def main():
                 ips = measure_mtcnn()
             elif name == "tracker":
                 ips = measure_tracker()
+            elif name == "tracker_device":
+                ips = measure_tracker(device=True)
             elif name == "train":
                 ips, train_mfu = measure_train()
                 if train_mfu:
@@ -570,12 +624,12 @@ def main():
         if name == "dp_scaling":
             extras[name] = v  # dict artifact, not a throughput
             continue
-        unit = "frames/s" if name == "tracker" else "images/s"
+        unit = "frames/s" if name.startswith("tracker") else "images/s"
         if name == "train":
             unit = "images/s (train step)"
+        base_of = {"try3_trained": "try3", "tracker_device": "tracker"}
         entry = {"value": round(v, 2) if v else None, "unit": unit,
-                 "vs_baseline": ratio(v, "try3" if name == "try3_trained"
-                                      else name)}
+                 "vs_baseline": ratio(v, base_of.get(name, name))}
         if name in _SPREADS:
             entry["spread_pct"] = _SPREADS[name]
         if name == "train" and "train_mfu" in _SPREADS:
