@@ -90,6 +90,23 @@ def merge_raw(parts) -> np.ndarray:
     return np.hstack((tf_conf[:, order], [[0], [truth_num]]))
 
 
+def save_raw_part(raw, path: str) -> None:
+    """Persist one process's RAW accumulator payload (TfConfAccumulator.raw)
+    as an .npz part file for later merge_part_files."""
+    tf_conf, truth_num = raw
+    np.savez(path, tf_conf=np.asarray(tf_conf), truth_num=truth_num)
+
+
+def merge_part_files(paths) -> np.ndarray:
+    """merge_raw over part files saved by save_raw_part, in the given order
+    (process order ⇒ bit-identical to the unsharded dump)."""
+    parts = []
+    for p in paths:
+        with np.load(p) as d:
+            parts.append((d["tf_conf"], int(d["truth_num"])))
+    return merge_raw(parts)
+
+
 def merge_dumps(dumps) -> np.ndarray:
     """Merge per-process FINALIZED dumps into one.
 

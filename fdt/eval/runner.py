@@ -40,12 +40,20 @@ def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
          skip_ids: Sequence[int] = (), display_dir: str | None = None,
          display: bool = False, snapshot_dir: str = ".",
          snapshot_prefix: str = "eval", progress: bool = True,
-         limit: int | None = None) -> np.ndarray:
+         limit: int | None = None, process_index: int | None = None,
+         process_count: int | None = None) -> np.ndarray:
     """display=True opens the reference's live GT-green/pred-red window with
     the 's'-key snapshot writer (My_test.py:144-161); display_dir writes the
-    same overlay per image headlessly instead."""
+    same overlay per image headlessly instead.
+
+    process_index/process_count shard the record list into contiguous blocks
+    (multi-process eval: run one process per shard, no jax.distributed
+    needed).  The dump written then is a RAW .npz part file
+    (`<dump_path>.part<i>_of_<n>.npz`); merging the parts in process order
+    (fdt.eval.pr.merge_part_files / scripts/merge_eval.py) reproduces the
+    unsharded dump bit-exactly, tied confidences included."""
     acc = TfConfAccumulator(iou_thresh)
-    dataset = EvalCollector(anno_file)
+    dataset = EvalCollector(anno_file, process_index, process_count)
     img_cnt = 0
     for image, target, img_id in dataset:
         if img_id in skip_ids:
@@ -72,7 +80,13 @@ def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
     dump = acc.finalize()
     if dump_path:
         os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
-        np.save(dump_path, dump)
+        if process_count and process_count > 1:
+            from fdt.eval.pr import save_raw_part
+            base = dump_path[:-4] if dump_path.endswith(".npy") else dump_path
+            save_raw_part(acc.raw(),
+                          f"{base}.part{process_index}_of_{process_count}.npz")
+        else:
+            np.save(dump_path, dump)
     return dump
 
 

@@ -30,6 +30,11 @@ def main():
                          "(My_test.py:144-161)")
     ap.add_argument("--img_save_folder", default="./image_and_anno/test_image/")
     ap.add_argument("--limit", default=None, type=int)
+    ap.add_argument("--process_index", default=None, type=int,
+                    help="multi-process eval: this process's contiguous "
+                         "record shard; writes a raw .npz part file to merge "
+                         "with scripts/merge_eval.py")
+    ap.add_argument("--process_count", default=None, type=int)
     args = ap.parse_args()
 
     det = load_pyramidbox_detector(args.net, args.weights)
@@ -38,7 +43,8 @@ def main():
                            display_dir=args.display_dir, display=args.display,
                            snapshot_dir=args.img_save_folder,
                            snapshot_prefix=f"{args.net}_thresh_{args.threshold}",
-                           limit=args.limit)
+                           limit=args.limit, process_index=args.process_index,
+                           process_count=args.process_count)
     from fdt.eval.pr import average_precision
     print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
           f"AP: {average_precision(dump):.4f}")

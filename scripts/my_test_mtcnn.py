@@ -20,13 +20,18 @@ def main():
     ap.add_argument("--anno", default="./image_and_anno/anno/gen_anno_file_val")
     ap.add_argument("--data_save_folder", default="./draw_curve/data/")
     ap.add_argument("--limit", default=None, type=int)
+    ap.add_argument("--process_index", default=None, type=int,
+                    help="multi-process eval shard; merge part files with "
+                         "scripts/merge_eval.py")
+    ap.add_argument("--process_count", default=None, type=int)
     args = ap.parse_args()
 
     cfg = dataclasses.replace(MTCNN, min_face_size=args.min_face)
     det = load_mtcnn_detector(args.pnet, args.rnet, args.onet, cfg)
     dump = eval_mtcnn(det, args.anno,
                       dump_path=f"{args.data_save_folder}/data_of_mtcnn.npy",
-                      limit=args.limit)
+                      limit=args.limit, process_index=args.process_index,
+                      process_count=args.process_count)
     from fdt.eval.pr import average_precision
     print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
           f"AP: {average_precision(dump):.4f}")
