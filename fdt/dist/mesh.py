@@ -11,7 +11,8 @@ parallelism over a 1-D `jax.sharding.Mesh`:
 
 Multi-host deployments extend the same mesh across processes
 (`jax.distributed.initialize` + per-process data slicing over DCN); see
-fdt.data input pipelines.
+fdt.dist.multihost for the process-level contract and tests/test_multihost.py
+for a live 2-process cluster run.
 """
 from __future__ import annotations
 

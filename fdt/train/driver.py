@@ -88,24 +88,54 @@ def prefetch_batches(dataset, batch_size: int, depth: int = 3):
 
 def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
                          cfg: TrainConfig, val_anno: str | None = None,
-                         log: Callable[[str], None] = print):
-    """Returns the final TrainState; checkpoints + loss .npy on save points."""
+                         log: Callable[[str], None] = print, mesh=None):
+    """Returns the final TrainState; checkpoints + loss .npy on save points.
+
+    mesh: optional jax.sharding.Mesh for data-parallel training.  The state
+    is replicated onto it and every batch is sharded over the mesh's `data`
+    axis.  Under a multi-process cluster (fdt.dist.multihost.initialize) the
+    mesh spans ALL processes' devices: each process loads a disjoint record
+    shard and contributes cfg.batch_size rows, so the global batch is
+    process_count × batch_size; loss `.npy` sidecars are written by process 0
+    (orbax checkpoint saves run on every process — orbax coordinates the
+    single write itself).
+    """
     dataset = WiderFaceDataset(train_anno, size=trainer.input_size)
     val_dataset = (WiderFaceDataset(val_anno, size=trainer.input_size)
                    if val_anno else None)
+    if mesh is not None:
+        from fdt.dist import replicated
+        state = jax.device_put(state, replicated(mesh))
+        if jax.process_count() > 1:
+            if cfg.max_gt is None:
+                raise ValueError(
+                    "multi-process training requires cfg.max_gt: per-process "
+                    "GT pads must agree for the global batch to assemble")
+            i, n = jax.process_index(), jax.process_count()
+            # disjoint record shard + process-specific shuffle stream
+            dataset.records = dataset.records[i::n]
+            dataset.rng = np.random.RandomState(1 + i)
     history = LossHistory(cfg.save_point)
     eval_losses: list[float] = []
 
     batches = prefetch_batches(dataset, cfg.batch_size)
     try:
         return _training_loop(trainer, state, batches, cfg, val_dataset,
-                              history, eval_losses, log)
+                              history, eval_losses, log, mesh)
     finally:
         batches.close()  # stop the prefetch worker (see prefetch_batches)
 
 
 def _training_loop(trainer, state, batches, cfg, val_dataset, history,
-                   eval_losses, log):
+                   eval_losses, log, mesh=None):
+    if mesh is not None:
+        from fdt.dist import multihost
+        place = lambda tree: multihost.globalize_batch(mesh, tree)
+    else:
+        place = lambda tree: tree
+    # host-side sidecar writes happen once per cluster; orbax checkpoint
+    # saves are collective (every process calls, orbax writes once)
+    is_main = jax.process_index() == 0
     step_index = 0
     lr = cfg.lr
     for iteration in range(cfg.start_iter + 1, cfg.total_iters + 1):
@@ -117,6 +147,8 @@ def _training_loop(trainer, state, batches, cfg, val_dataset, history,
             log(f"adjusting lr to {lr}")
 
         gt_boxes, gt_labels, gt_valid = pad_targets(targets, cfg.max_gt)
+        images, gt_boxes, gt_labels, gt_valid = place(
+            (images, gt_boxes, gt_labels, gt_valid))
         state, metrics = trainer.train_step(
             state, images, gt_boxes, gt_labels, gt_valid, lr,
             freeze=iteration < cfg.train_pretrain)
@@ -130,9 +162,14 @@ def _training_loop(trainer, state, batches, cfg, val_dataset, history,
         if cfg.eval_freq and (iteration % cfg.eval_freq == 0 or iteration == 1) \
                 and val_dataset is not None:
             loss_val, n = 0.0, 0
+            # val_dataset is NOT process-sharded: every process walks the
+            # same batches, so the globalized eval batch holds process_count
+            # copies of the same rows — the mean loss is unchanged and all
+            # processes execute the same program
             for img_e, tgt_e in val_dataset.batches(cfg.batch_size):
                 n += 1
                 gb, gl, gv = pad_targets(tgt_e, cfg.max_gt)
+                img_e, gb, gl, gv = place((img_e, gb, gl, gv))
                 loss_val += float(trainer.eval_loss(state, img_e, gb, gl, gv))
                 if n > cfg.eval_batches:
                     break
@@ -141,10 +178,14 @@ def _training_loop(trainer, state, batches, cfg, val_dataset, history,
 
         if iteration % cfg.save_point == 0:
             path = save_checkpoint(state, cfg.save_folder, cfg.name, iteration)
-            history.save(f"{cfg.save_folder}/{cfg.name}_loss_{iteration}.npy")
-            if eval_losses:
-                np.save(f"{cfg.save_folder}/{cfg.name}_eval_loss_{iteration}.npy",
-                        np.array(eval_losses))
+            if is_main:
+                history.save(f"{cfg.save_folder}/{cfg.name}_loss_{iteration}.npy")
+                if eval_losses:
+                    np.save(f"{cfg.save_folder}/{cfg.name}_eval_loss_{iteration}.npy",
+                            np.array(eval_losses))
+                    eval_losses = []
+            else:
+                history.reset()
                 eval_losses = []
             log(f"saved {path}")
 

@@ -270,3 +270,11 @@ class LossHistory:
         np.save(path, self.buf)
         self.buf = np.zeros_like(self.buf)
         self.idx = 0
+
+    def reset(self):
+        """Drop pending/buffered rows without writing (non-main processes of
+        a multi-process run: the sidecar is process 0's to write, but every
+        process must release its device metric references)."""
+        self.pending = []
+        self.buf = np.zeros_like(self.buf)
+        self.idx = 0

@@ -40,6 +40,20 @@ def main():
                     help="pin the jax backend (config.update — env vars are "
                          "not read here, jax is pre-imported); cpu makes the "
                          "run hermetic to a wedged TPU tunnel")
+    ap.add_argument("--dp_devices", default=0, type=int,
+                    help="data-parallel mesh size (0 = single device); "
+                         "batches shard over the mesh `data` axis")
+    ap.add_argument("--num_processes", default=1, type=int,
+                    help="multi-process DP (fdt.dist.multihost): launch this "
+                         "script once per process with distinct --process_id; "
+                         "the mesh spans all processes' devices and the "
+                         "global batch is num_processes x batch_size")
+    ap.add_argument("--process_id", default=0, type=int)
+    ap.add_argument("--coordinator", default="127.0.0.1:12360",
+                    help="process-0 coordinator address for --num_processes>1")
+    ap.add_argument("--max_gt", default=None, type=int,
+                    help="GT pad bucket (required for --num_processes>1: "
+                         "per-process pads must agree)")
     ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
     ap.add_argument("--evalAnnoPath", default="./image_and_anno/anno/gen_anno_file_val")
     ap.add_argument("--save_folder", default="weights_of_mine/")
@@ -47,6 +61,14 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    mesh = None
+    if args.num_processes > 1:
+        from fdt.dist import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+    if args.num_processes > 1 or args.dp_devices:
+        from fdt.dist import make_mesh
+        mesh = make_mesh(args.dp_devices or None)
     model = build_pyramidbox(args.net)
     freeze = (lambda p: "features" in p) if args.net in ("try3", "try4", "try5") else None
     trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
@@ -66,9 +88,10 @@ def main():
                       total_iters=args.iter, save_point=args.save_point,
                       eval_freq=args.eval_freq, train_pretrain=args.train_pretrain,
                       start_iter=args.start_iter, save_folder=args.save_folder,
-                      name=f"{args.net}_pyramid")
+                      max_gt=args.max_gt, name=f"{args.net}_pyramid")
     run_pyramid_training(trainer, state, args.annoPath, cfg,
-                         val_anno=args.evalAnnoPath if args.eval_freq else None)
+                         val_anno=args.evalAnnoPath if args.eval_freq else None,
+                         mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""True multi-process data parallelism (fdt/dist/multihost.py).
+
+The reference is single-GPU (SURVEY §2.9); on TPU pods the same model spans
+processes.  This test runs the REAL flagship DP train step three ways on
+8 virtual CPU devices — single process, and 2 processes × 4 devices with
+Gloo cross-process collectives — and requires the losses to agree: the
+multi-host contract (deterministic per-process init, per-process input
+slices, global mesh) reproduces the single-process result.
+
+Each worker is a child process (tests/multihost_worker.py) so the suite's
+own backend state never leaks in; the known XLA:CPU collective-rendezvous
+flake is handled by collective terminate timeouts + one retry.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _env(local_devices: int) -> dict:
+    env = dict(os.environ)
+    # REPLACE any inherited value (conftest sets device_count=8 for the suite
+    # itself; append-if-missing would leave each child with 8 local devices
+    # and silently double the global mesh)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(f"--xla_force_host_platform_device_count={local_devices}")
+    for f in ("--xla_llvm_disable_expensive_passes=true",
+              "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
+              "--xla_cpu_collective_call_terminate_timeout_seconds=120"):
+        if f.split("=")[0] not in " ".join(flags):
+            flags.append(f)
+    env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_job(n_procs: int, timeout: float = 600.0) -> list:
+    """Launch the n-process job once → list of per-process losses."""
+    port = _free_port()
+    env = _env(8 // n_procs)
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), str(n_procs), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(n_procs)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    return [o["loss"] for o in sorted(outs, key=lambda o: o["pid"])]
+
+
+def _run_job_retry(n_procs: int) -> list:
+    try:
+        return _run_job(n_procs)
+    except (AssertionError, subprocess.TimeoutExpired):
+        # one retry: XLA:CPU collectives can nondeterministically deadlock on
+        # this 1-core host (see __graft_entry__.dryrun_multichip); the
+        # terminate timeouts turn that into a fast failure worth one re-run
+        return _run_job(n_procs)
+
+
+def test_two_process_dp_matches_single_process():
+    single = _run_job_retry(1)
+    multi = _run_job_retry(2)
+    assert np.isfinite(single[0])
+    # both processes observe the same global loss, equal to the 1-process run
+    assert multi[0] == multi[1]
+    assert abs(multi[0] - single[0]) <= 1e-5 * abs(single[0])
+
+
+_MINI_TRAIN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "mini", "gen_anno_file_mini_train")
+
+
+@pytest.mark.skipif(not os.path.exists(_MINI_TRAIN),
+                    reason="mini dataset not generated")
+def test_two_process_training_cli(tmp_path):
+    """scripts/train_pyramid.py --num_processes 2: the full driver loop
+    (disjoint record shards, globalized batches, collective orbax save,
+    process-0 loss sidecar) through the real CLI front door."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "train_pyramid.py")
+    port = _free_port()
+    env = _env(local_devices=2)   # 2 procs x 2 devices = 4-way global mesh
+    cmd = [sys.executable, script, "--net", "try3", "--platform", "cpu",
+           "--input_size", "128", "--batch_size", "2", "--iter", "4",
+           "--save_point", "4", "--max_gt", "8", "--lr", "1e-4",
+           "--num_processes", "2", "--coordinator", f"127.0.0.1:{port}",
+           "--annoPath", _MINI_TRAIN, "--save_folder", str(tmp_path) + "/"]
+    procs = [subprocess.Popen(cmd + ["--process_id", str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env, cwd=repo)
+             for i in range(2)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=700)
+        finally:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        assert p.returncode == 0, f"trainer process failed:\n{err[-3000:]}"
+    # one checkpoint, written once (orbax coordinates), plus process-0 sidecar
+    assert os.path.isdir(tmp_path / "try3_pyramid_4")
+    assert (tmp_path / "try3_pyramid_loss_4.npy").exists()
+    loss = np.load(tmp_path / "try3_pyramid_loss_4.npy")
+    assert loss.shape[0] == 5 and np.isfinite(loss[0, :4]).all()
+    assert loss[0, :4].max() > 0
