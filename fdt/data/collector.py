@@ -21,11 +21,13 @@ class EvalCollector:
         preserves the unsharded accumulation order; fdt.eval.pr.merge_raw
         then reproduces the single-process dump bit-exactly."""
         self.records = parse_anno_file(anno_file)
+        self.start_id = 0
         if process_count and process_count > 1:
             n = len(self.records)
             lo = process_index * n // process_count
             hi = (process_index + 1) * n // process_count
             self.records = self.records[lo:hi]
+            self.start_id = lo
 
     def __len__(self) -> int:
         return len(self.records)
@@ -36,4 +38,7 @@ class EvalCollector:
             img = cv2.imread(rec.path)
             if img is None:
                 raise FileNotFoundError(rec.path)
-            yield img, rec.boxes_xywh, i + 1
+            # img_id stays GLOBAL under sharding: skip_ids (MTCNN's image
+            # 2852, My_test_mtcnn.py:27), --limit, and display filenames all
+            # carry whole-dataset semantics
+            yield img, rec.boxes_xywh, self.start_id + i + 1

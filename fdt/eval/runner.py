@@ -52,6 +52,10 @@ def _run(detect_fn, anno_file: str, dump_path: str, iou_thresh: float = 0.5,
     (`<dump_path>.part<i>_of_<n>.npz`); merging the parts in process order
     (fdt.eval.pr.merge_part_files / scripts/merge_eval.py) reproduces the
     unsharded dump bit-exactly, tied confidences included."""
+    if (process_index is None) != (process_count is None):
+        raise ValueError("process_index and process_count must be passed "
+                         "together (one alone would either crash in the "
+                         "collector or silently run the full unsharded eval)")
     acc = TfConfAccumulator(iou_thresh)
     dataset = EvalCollector(anno_file, process_index, process_count)
     img_cnt = 0

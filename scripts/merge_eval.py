@@ -23,11 +23,12 @@ import numpy as np
 from fdt.eval.pr import average_precision, merge_part_files
 
 
-def _part_index(path: str) -> int:
+def _part_key(path: str) -> tuple:
+    """(part index, declared part count) from the filename."""
     m = re.search(r"\.part(\d+)_of_(\d+)\.npz$", path)
     if not m:
         raise ValueError(f"not a part file: {path}")
-    return int(m.group(1))
+    return int(m.group(1)), int(m.group(2))
 
 
 def main():
@@ -37,9 +38,10 @@ def main():
     ap.add_argument("--out", required=True, help="merged .npy dump path")
     args = ap.parse_args()
 
-    parts = sorted(args.parts, key=_part_index)
-    counts = {int(re.search(r"_of_(\d+)\.npz$", p).group(1)) for p in parts}
-    idx = [_part_index(p) for p in parts]
+    keys = sorted(_part_key(p) for p in args.parts)
+    parts = sorted(args.parts, key=_part_key)
+    counts = {n for _, n in keys}
+    idx = [i for i, _ in keys]
     expect = list(range(next(iter(counts)))) if len(counts) == 1 else None
     if idx != expect:
         raise ValueError(f"need ALL parts 0..n-1 of one run, got indices "

@@ -46,8 +46,11 @@ def main():
                            limit=args.limit, process_index=args.process_index,
                            process_count=args.process_count)
     from fdt.eval.pr import average_precision
+    shard = ("" if not args.process_count or args.process_count <= 1 else
+             f"  [shard {args.process_index}/{args.process_count} only - "
+             "merge part files with scripts/merge_eval.py]")
     print(f"detections: {dump.shape[1] - 1}  gt: {int(dump[1, -1])}  "
-          f"AP: {average_precision(dump):.4f}")
+          f"AP: {average_precision(dump):.4f}{shard}")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,22 @@ def test_sharded_parts_merge_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.load(out), single)
 
 
+def test_sharded_collector_yields_global_ids():
+    """img_id stays GLOBAL under process sharding — skip_ids (MTCNN image
+    2852), --limit, and display filenames carry whole-dataset semantics."""
+    from fdt.data.collector import EvalCollector
+    ids = [i for _, _, i in EvalCollector(_ANNO)]
+    got = []
+    for pi in range(2):
+        got += [i for _, _, i in EvalCollector(_ANNO, pi, 2)]
+    assert got == ids
+
+
+def test_run_rejects_lone_process_arg(tmp_path):
+    with pytest.raises(ValueError, match="together"):
+        _run(_fake_detect, _ANNO, str(tmp_path / "d.npy"), process_count=2)
+
+
 def test_merge_rejects_incomplete_parts(tmp_path):
     _run(_fake_detect, _ANNO, str(tmp_path / "dump.npy"),
          process_index=0, process_count=3, progress=False)
