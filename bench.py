@@ -448,7 +448,10 @@ def measure_reference_facebox(iters=3):
         sys.path.pop(0)
 
 
-def measure_reference_mtcnn(iters=3):
+def measure_reference_mtcnn(iters=5, reps=3):
+    """Best-of-reps: this is the noisiest baseline (a full host python
+    cascade per frame), so a refresh takes the reference at its FASTEST —
+    the conservative direction for our vs_baseline ratios."""
     torch = _ref_stubs()  # noqa: F841
     if not os.path.exists(MTCNN_P):
         return None
@@ -461,10 +464,13 @@ def measure_reference_mtcnn(iters=3):
         det = MtcnnDetector(pnet=pnet, rnet=rnet, onet=onet)
         frame = _sample_frame(480, 640)
         det.detect_face(frame)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            det.detect_face(frame)
-        return iters / (time.perf_counter() - t0)
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                det.detect_face(frame)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return 1.0 / best
     finally:
         sys.path.pop(0)
 

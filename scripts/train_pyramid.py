@@ -74,7 +74,10 @@ def main():
     trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
                              input_size=args.input_size,
                              freeze_predicate=freeze)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # abstract=True: bit-identical to the compiled init path (pinned by
+    # tests/test_train_driver.py) from a shape-only trace — saves a separate
+    # multi-minute init compile before the train-step compile on slow hosts
+    state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
     if args.resume:
         if _os.path.isdir(args.resume):  # orbax: full TrainState (opt + step)
             from fdt.train.checkpoint import restore_checkpoint
