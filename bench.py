@@ -246,66 +246,128 @@ def measure_train(batch=8, iters=10, size=640):
 
 def measure_dp_scaling(size=128, iters=5):
     """§2.9 artifact: the SAME jitted DP train step on a 1- vs 8-device
-    virtual CPU mesh, in a child process (the bench process owns the TPU
-    backend; the mesh check must be hermetic to it, like dryrun_multichip).
+    virtual CPU mesh, plus a TRUE 2-process × 4-device cluster
+    (jax.distributed over Gloo — the multi-host pod layout, fdt.dist.multihost),
+    all in child processes (the bench process owns the TPU backend; the mesh
+    checks must be hermetic to it, like dryrun_multichip).
 
-    Returns {n1_ms, n8_ms, loss_rel_diff, note}.  Both runs use the same
-    GLOBAL batch (8), so the losses must agree to float tolerance — that is
-    the correctness half.  The wall-clock ratio is reported but this host has
-    ONE physical core under the 8 virtual devices, so it measures SPMD
-    partitioning overhead, not parallel speedup."""
+    Returns {n1_ms, n8_ms, loss_rel_diff, proc2x4_ms, loss_rel_diff_2proc,
+    note}.  Every run uses the same GLOBAL batch (8) and data, so the losses
+    must agree to float tolerance — that is the correctness half.  The
+    wall-clock ratios are reported but this host has ONE physical core under
+    the virtual devices, so they measure SPMD/cluster overhead, not parallel
+    speedup."""
     import subprocess
+
+    def _env(local_devices):
+        env = dict(os.environ)
+        # REPLACE any inherited device-count flag; append the deadlock
+        # fail-fast timeouts if absent
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append(f"--xla_force_host_platform_device_count={local_devices}")
+        for f in ("--xla_llvm_disable_expensive_passes=true",
+                  "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
+                  "--xla_cpu_collective_call_terminate_timeout_seconds=90"):
+            if f.split("=")[0] not in " ".join(flags):
+                flags.append(f)
+        env["XLA_FLAGS"] = " ".join(flags)
+        return env
+
+    # one worker program for all legs: "local <n_devices>" times a 1-process
+    # n-device mesh; "worker <pid> <n_procs> <port>" joins a Gloo cluster
     prog = f"""
-import os
-# each flag appended individually: a pre-set device-count flag must not
-# silently drop the collective-deadlock fail-fast timeouts
-_f = os.environ.get("XLA_FLAGS", "")
-for _flag in ("--xla_force_host_platform_device_count=8",
-              "--xla_llvm_disable_expensive_passes=true",
-              "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
-              "--xla_cpu_collective_call_terminate_timeout_seconds=90"):
-    if _flag.split("=")[0] not in _f:
-        _f += " " + _flag
-os.environ["XLA_FLAGS"] = _f.strip()
-import json, time
+import json, sys, time
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-from fdt.dist import make_mesh, replicated, shard_batch
+mode = sys.argv[1]
+if mode == "worker":
+    pid, nproc, port = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    from fdt.dist import multihost
+    multihost.initialize(f"127.0.0.1:{{port}}", num_processes=nproc,
+                         process_id=pid)
+from fdt.dist import make_mesh, multihost, replicated
 from fdt.models.pyramidbox import PyramidBox
 from fdt.train import PyramidTrainer, pad_targets
 
-def run(n):
-    mesh = make_mesh(n)
-    trainer = PyramidTrainer(PyramidBox(), "repo", input_size={size})
-    state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
-    state = jax.device_put(state, replicated(mesh))
-    rng = np.random.RandomState(0)
-    images = rng.rand(8, {size}, {size}, 3).astype(np.float32) * 255.0
-    targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0.0]], np.float32)] * 8
-    gt = pad_targets(targets, max_gt=4)
-    images, *gt = shard_batch(mesh, (images,) + tuple(gt))
-    state, m = trainer.train_step(state, images, *gt, 1e-4)
-    loss = float(jax.block_until_ready(m["loss"]))
-    t0 = time.perf_counter()
-    for _ in range({iters}):
-        state, m = trainer.train_step(state, images, *gt, 1e-4)
-    jax.block_until_ready(m["loss"])
-    return loss, (time.perf_counter() - t0) / {iters}
-
-l1, t1 = run(1)
-l8, t8 = run(8)
-print(json.dumps({{"n1_ms": round(t1 * 1e3, 1), "n8_ms": round(t8 * 1e3, 1),
-                   "loss_rel_diff": abs(l8 - l1) / max(abs(l1), 1e-9)}}))
+n_mesh = int(sys.argv[2]) if mode == "local" else 8
+mesh = make_mesh(n_mesh)
+trainer = PyramidTrainer(PyramidBox(), "repo", input_size={size})
+state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
+state = jax.device_put(state, replicated(mesh))
+rng = np.random.RandomState(0)
+images = rng.rand(8, {size}, {size}, 3).astype(np.float32) * 255.0
+targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0.0]], np.float32)] * 8
+gt = pad_targets(targets, max_gt=4)
+if mode == "worker":
+    lo, hi = multihost.process_batch_bounds(8)
+else:
+    lo, hi = 0, 8
+batch = multihost.globalize_batch(mesh, tuple(
+    a[lo:hi] for a in (images,) + tuple(gt)))
+state, m = trainer.train_step(state, *batch, 1e-4)
+loss = float(jax.block_until_ready(m["loss"]))
+iters = int(sys.argv[-1])
+t0 = time.perf_counter()
+for _ in range(iters):
+    state, m = trainer.train_step(state, *batch, 1e-4)
+jax.block_until_ready(m["loss"])
+print(json.dumps({{"loss": loss,
+                   "ms": (time.perf_counter() - t0) / iters * 1e3}}))
 """
-    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
-                       text=True, timeout=1500,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
-    if r.returncode != 0:
-        raise RuntimeError(f"dp_scaling child failed: {r.stderr[-500:]}")
-    out = json.loads(r.stdout.strip().splitlines()[-1])
-    out["note"] = "8 virtual devices share 1 physical core; ratio = SPMD overhead, not speedup"
-    return out
+    cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def _parse(stdout):
+        return json.loads(stdout.strip().splitlines()[-1])
+
+    def run_local(n):
+        r = subprocess.run([sys.executable, "-c", prog, "local", str(n),
+                            str(iters)],
+                           capture_output=True, text=True, timeout=1500,
+                           cwd=cwd, env=_env(8))
+        if r.returncode != 0:
+            raise RuntimeError(f"dp_scaling child failed: {r.stderr[-500:]}")
+        return _parse(r.stdout)
+
+    def run_2proc():
+        import socket
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        # iters=1 on this leg: its wall-clock is stated as overhead-only (two
+        # processes time-slice ONE core), while the loss equality is the
+        # artifact — no reason to spend 5 minutes stepping for it
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", prog, "worker", str(i), "2", str(port),
+             "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=cwd, env=_env(4)) for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=1500)
+            finally:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError(f"dp_scaling worker failed: {err[-500:]}")
+            outs.append(_parse(out))
+        assert outs[0]["loss"] == outs[1]["loss"]
+        return outs[0]
+
+    l1 = run_local(1)
+    l8 = run_local(8)
+    p2 = run_2proc()
+    rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)
+    return {"n1_ms": round(l1["ms"], 1), "n8_ms": round(l8["ms"], 1),
+            "loss_rel_diff": rel(l8["loss"], l1["loss"]),
+            "proc2x4_ms": round(p2["ms"], 1),
+            "loss_rel_diff_2proc": rel(p2["loss"], l1["loss"]),
+            "note": ("virtual devices share 1 physical core; ratios = "
+                     "SPMD/cluster overhead, not speedup")}
 
 
 def measure_tracker(iters=3, frames=64, batch=16, device=False):
