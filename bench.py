@@ -198,16 +198,19 @@ def measure_mtcnn(batch=8, iters=10, h=480, w=640):
     return batch * iters / dt_s
 
 
-def measure_train(batch=8, iters=10, size=640):
+def measure_train(batch=8, iters=10, size=640, dtype="float32"):
     """PyramidBox-ResNet50 train-step throughput (fwd+bwd+SGD, dual MultiBox
-    loss).  Opt-in (--configs train): the 640² fwd+bwd compile takes ~10min
-    through this environment's remote compile helper, too slow for the
-    default bench line."""
+    loss).  Opt-in (--configs train / train_bf16): the 640² fwd+bwd compile
+    takes ~10min through this environment's remote compile helper, too slow
+    for the default bench line.  dtype="bfloat16" = mixed precision (bf16
+    compute, f32 params/loss — the scripts/train_pyramid.py --bf16 path)."""
     import jax
+    import jax.numpy as jnp
     from fdt.models.pyramidbox import PyramidBox
     from fdt.train import PyramidTrainer, pad_targets
 
-    trainer = PyramidTrainer(PyramidBox(), "repo", input_size=size,
+    dt = {"bfloat16": jnp.bfloat16, "float32": None}[dtype]
+    trainer = PyramidTrainer(PyramidBox(dtype=dt), "repo", input_size=size,
                              precision="default")
     state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0),
                                               abstract=True))
@@ -609,7 +612,7 @@ def main():
     ap.add_argument("--configs", default="all",
                     help="comma list of flagship,facebox,mtcnn,try1,try3,"
                          "tracker,tracker_device,try3_trained,train,"
-                         "dp_scaling")
+                         "train_bf16,dp_scaling")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the wedged-tunnel device probe")
@@ -668,10 +671,11 @@ def main():
                 ips = measure_tracker()
             elif name == "tracker_device":
                 ips = measure_tracker(device=True)
-            elif name == "train":
-                ips, train_mfu = measure_train()
+            elif name in ("train", "train_bf16"):
+                ips, train_mfu = measure_train(
+                    dtype="bfloat16" if name == "train_bf16" else "float32")
                 if train_mfu:
-                    _SPREADS["train_mfu"] = round(train_mfu, 4)
+                    _SPREADS[name + "_mfu"] = round(train_mfu, 4)
             elif name == "dp_scaling":
                 results[name] = measure_dp_scaling()
                 continue
@@ -693,15 +697,15 @@ def main():
             extras[name] = v  # dict artifact, not a throughput
             continue
         unit = "frames/s" if name.startswith("tracker") else "images/s"
-        if name == "train":
+        if name.startswith("train"):
             unit = "images/s (train step)"
         base_of = {"try3_trained": "try3", "tracker_device": "tracker"}
         entry = {"value": round(v, 2) if v else None, "unit": unit,
                  "vs_baseline": ratio(v, base_of.get(name, name))}
         if name in _SPREADS:
             entry["spread_pct"] = _SPREADS[name]
-        if name == "train" and "train_mfu" in _SPREADS:
-            entry["mfu"] = _SPREADS["train_mfu"]
+        if name + "_mfu" in _SPREADS:
+            entry["mfu"] = _SPREADS[name + "_mfu"]
         extras[name] = entry
     out = {
         "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",

@@ -191,6 +191,11 @@ class PyramidTrainer:
             out, mutated = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
+        # mixed-precision training (model dtype=bf16, flax params stay f32):
+        # the matching/hard-neg-mining/log-sum-exp loss math runs in f32
+        # regardless of the forward's compute dtype
+        out = {k: v.astype(jnp.float32) if hasattr(v, "astype") else v
+               for k, v in out.items()}
         l_l, l_c = multibox_loss(out["face_loc"], out["face_conf"],
                                  self.priors_face, gt_boxes, gt_labels, gt_valid,
                                  self.loss_cfg)

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--input_size", default=640, type=int,
                     help="train resolution (reference trains at 640; smaller "
                          "sizes are for smoke runs on slow backends)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 forward/backward "
+                         "compute, f32 params/optimizer/loss (flax "
+                         "param_dtype stays float32)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the jax backend (config.update — env vars are "
                          "not read here, jax is pre-imported); cpu makes the "
@@ -69,7 +73,9 @@ def main():
     if args.num_processes > 1 or args.dp_devices:
         from fdt.dist import make_mesh
         mesh = make_mesh(args.dp_devices or None)
-    model = build_pyramidbox(args.net)
+    import jax.numpy as jnp
+    model = build_pyramidbox(args.net,
+                             dtype=jnp.bfloat16 if args.bf16 else None)
     freeze = (lambda p: "features" in p) if args.net in ("try3", "try4", "try5") else None
     trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
                              input_size=args.input_size,

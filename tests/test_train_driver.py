@@ -273,3 +273,35 @@ def test_prefetch_batches_shutdown():
         time.sleep(0.1)
     assert not any(t.is_alive() for t in worker), \
         "prefetch worker still alive after close()"
+
+
+@pytest.mark.slow
+def test_bf16_mixed_precision_training(rng):
+    """Mixed precision (model dtype=bf16, the scripts/train_pyramid.py --bf16
+    path): flax params stay f32, the loss math runs f32 (loops.py upcasts the
+    heads), the first-step loss agrees with the f32 trainer, and training
+    makes progress."""
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+
+    batch = make_batch(rng)
+    losses = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        trainer = PyramidTrainer(build_pyramidbox("try3", dtype=dt), "try3",
+                                 input_size=128)
+        state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
+        if name == "bf16":
+            assert all(leaf.dtype == jnp.float32
+                       for leaf in jax.tree.leaves(state.params))
+        seq = []
+        for _ in range(3):
+            state, m = trainer.train_step(state, *batch, 1e-3)
+            seq.append(float(m["loss"]))
+        losses[name] = seq
+        if name == "bf16":  # params remain f32 after updates too
+            assert all(leaf.dtype == jnp.float32
+                       for leaf in jax.tree.leaves(state.params))
+    assert np.isfinite(losses["bf16"]).all()
+    # same init, same batch: the bf16 forward differs only by rounding
+    assert abs(losses["bf16"][0] - losses["f32"][0]) \
+        <= 0.05 * abs(losses["f32"][0])
+    assert losses["bf16"][-1] < losses["bf16"][0]
