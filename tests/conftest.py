@@ -92,14 +92,27 @@ def rng():
     return np.random.RandomState(0)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "watchdog(seconds): override the per-test hang-watchdog budget "
+        "(default 900s; multi-process cluster tests compile two XLA programs "
+        "concurrently on this 1-core host and legitimately need more)")
+
+
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_call(item):
     """Per-test hang watchdog: this machine's XLA:CPU occasionally deadlocks
-    (idle rendezvous wait); after 15 min a single test dumps every thread's
-    stack and aborts, turning a silent eternal hang into a diagnosable
-    failure.  The slowest legitimate test is ~5 min under load."""
+    (idle rendezvous wait); after the budget a single test dumps every
+    thread's stack and aborts, turning a silent eternal hang into a
+    diagnosable failure.  The slowest legitimate single-process test is
+    ~5 min under load; @pytest.mark.watchdog(n) raises the budget for the
+    known-long multi-process tests."""
     import faulthandler
-    faulthandler.dump_traceback_later(900, exit=True, file=_watchdog_stderr())
+    marker = item.get_closest_marker("watchdog")
+    budget = int(marker.args[0]) if marker else 900
+    faulthandler.dump_traceback_later(budget, exit=True,
+                                      file=_watchdog_stderr())
     try:
         yield
     finally:

@@ -49,9 +49,16 @@ def _free_port() -> int:
 
 
 def _run_job(n_procs: int, timeout: float = 600.0) -> list:
-    """Launch the n-process job once → list of per-process losses."""
+    """Launch the n-process job once → list of per-process losses.
+
+    `timeout` is a SHARED deadline for the whole job, not per worker — the
+    per-test hang watchdog budgets the test as a whole, so one slow worker
+    must not be granted a fresh full timeout after another already spent it.
+    """
+    import time
     port = _free_port()
     env = _env(8 // n_procs)
+    deadline = time.monotonic() + timeout
     procs = [subprocess.Popen(
         [sys.executable, _WORKER, str(i), str(n_procs), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
@@ -59,7 +66,8 @@ def _run_job(n_procs: int, timeout: float = 600.0) -> list:
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=timeout)
+            out, err = p.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))
             assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
             outs.append(json.loads(out.strip().splitlines()[-1]))
     finally:
@@ -80,7 +88,11 @@ def _run_job_retry(n_procs: int) -> list:
         return _run_job(n_procs)
 
 
+@pytest.mark.watchdog(2400)
 def test_two_process_dp_matches_single_process():
+    # watchdog(2400): 3 jobs worst case (single + multi and one flake retry),
+    # each pair compiling two XLA programs concurrently on ONE core — the
+    # 900s default killed the whole suite mid-run here (observed)
     single = _run_job_retry(1)
     multi = _run_job_retry(2)
     assert np.isfinite(single[0])
@@ -93,6 +105,7 @@ _MINI_TRAIN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "mini", "gen_anno_file_mini_train")
 
 
+@pytest.mark.watchdog(2400)
 @pytest.mark.skipif(not os.path.exists(_MINI_TRAIN),
                     reason="mini dataset not generated")
 def test_two_process_training_cli(tmp_path):
