@@ -262,20 +262,9 @@ def measure_dp_scaling(size=128, iters=5):
     speedup."""
     import subprocess
 
-    def _env(local_devices):
-        env = dict(os.environ)
-        # REPLACE any inherited device-count flag; append the deadlock
-        # fail-fast timeouts if absent
-        flags = [f for f in env.get("XLA_FLAGS", "").split()
-                 if not f.startswith("--xla_force_host_platform_device_count")]
-        flags.append(f"--xla_force_host_platform_device_count={local_devices}")
-        for f in ("--xla_llvm_disable_expensive_passes=true",
-                  "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
-                  "--xla_cpu_collective_call_terminate_timeout_seconds=90"):
-            if f.split("=")[0] not in " ".join(flags):
-                flags.append(f)
-        env["XLA_FLAGS"] = " ".join(flags)
-        return env
+    # same helpers as tests/test_multihost.py — ONE tested configuration of
+    # XLA flags, terminate timeouts, shared deadlines and worker cleanup
+    from fdt.dist.procutil import child_env, free_port, python_workers
 
     # one worker program for all legs: "local <n_devices>" times a 1-process
     # n-device mesh; "worker <pid> <n_procs> <port>" joins a Gloo cluster
@@ -328,42 +317,35 @@ print(json.dumps({{"loss": loss,
         r = subprocess.run([sys.executable, "-c", prog, "local", str(n),
                             str(iters)],
                            capture_output=True, text=True, timeout=1500,
-                           cwd=cwd, env=_env(8))
+                           cwd=cwd, env=child_env(8))
         if r.returncode != 0:
             raise RuntimeError(f"dp_scaling child failed: {r.stderr[-500:]}")
         return _parse(r.stdout)
 
     def run_2proc():
-        import socket
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-        s.close()
         # iters=1 on this leg: its wall-clock is stated as overhead-only (two
         # processes time-slice ONE core), while the loss equality is the
-        # artifact — no reason to spend 5 minutes stepping for it
-        procs = [subprocess.Popen(
-            [sys.executable, "-c", prog, "worker", str(i), "2", str(port),
-             "1"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=cwd, env=_env(4)) for i in range(2)]
-        outs = []
-        for p in procs:
-            try:
-                out, err = p.communicate(timeout=1500)
-            finally:
-                if p.poll() is None:
-                    p.kill()
-                    p.communicate()
-            if p.returncode != 0:
-                raise RuntimeError(f"dp_scaling worker failed: {err[-500:]}")
-            outs.append(_parse(out))
+        # artifact — no reason to spend 5 minutes stepping for it.
+        # Fresh port per attempt; shared 1500s deadline; all-worker cleanup.
+        port = free_port()
+        results = python_workers(
+            [["-c", prog, "worker", str(i), "2", str(port), "1"]
+             for i in range(2)],
+            timeout=1500, env=child_env(4), cwd=cwd)
+        outs = [_parse(out) for _, out, _ in results]
         assert outs[0]["loss"] == outs[1]["loss"]
         return outs[0]
 
     l1 = run_local(1)
     l8 = run_local(8)
-    p2 = run_2proc()
+    try:
+        p2 = run_2proc()
+    except (RuntimeError, AssertionError, subprocess.TimeoutExpired):
+        # one retry — the known nondeterministic XLA:CPU collective
+        # rendezvous deadlock (same policy as tests/test_multihost.py;
+        # WorkerFailure is a RuntimeError); the terminate timeouts turn a
+        # deadlock into a fast failure worth re-running
+        p2 = run_2proc()
     rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)
     return {"n1_ms": round(l1["ms"], 1), "n8_ms": round(l8["ms"], 1),
             "loss_rel_diff": rel(l8["loss"], l1["loss"]),

@@ -191,11 +191,15 @@ class PyramidTrainer:
             out, mutated = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
-        # mixed-precision training (model dtype=bf16, flax params stay f32):
-        # the matching/hard-neg-mining/log-sum-exp loss math runs in f32
-        # regardless of the forward's compute dtype
-        out = {k: v.astype(jnp.float32) if hasattr(v, "astype") else v
-               for k, v in out.items()}
+        # mixed-precision invariant: every model variant casts its head
+        # outputs to f32 before returning (pyramidbox.py / pyramidbox_mobile.py
+        # concat sites), so the matching/hard-neg-mining/log-sum-exp loss math
+        # below runs in f32 regardless of the forward's compute dtype.  Checked
+        # at trace time so a model that stops casting fails loudly here.
+        for k in ("face_loc", "face_conf", "head_loc", "head_conf"):
+            if out[k].dtype != jnp.float32:
+                raise TypeError(f"model output {k!r} is {out[k].dtype}, "
+                                "expected float32 (loss math must be f32)")
         l_l, l_c = multibox_loss(out["face_loc"], out["face_conf"],
                                  self.priors_face, gt_boxes, gt_labels, gt_valid,
                                  self.loss_cfg)

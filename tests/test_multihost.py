@@ -13,39 +13,15 @@ flake is handled by collective terminate timeouts + one retry.
 """
 import json
 import os
-import socket
 import subprocess
-import sys
 
 import numpy as np
 import pytest
 
+from fdt.dist.procutil import (WorkerFailure, child_env, free_port,
+                               python_workers)
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-
-
-def _env(local_devices: int) -> dict:
-    env = dict(os.environ)
-    # REPLACE any inherited value (conftest sets device_count=8 for the suite
-    # itself; append-if-missing would leave each child with 8 local devices
-    # and silently double the global mesh)
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if not f.startswith("--xla_force_host_platform_device_count")]
-    flags.append(f"--xla_force_host_platform_device_count={local_devices}")
-    for f in ("--xla_llvm_disable_expensive_passes=true",
-              "--xla_cpu_collective_call_warn_stuck_timeout_seconds=20",
-              "--xla_cpu_collective_call_terminate_timeout_seconds=120"):
-        if f.split("=")[0] not in " ".join(flags):
-            flags.append(f)
-    env["XLA_FLAGS"] = " ".join(flags)
-    return env
-
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
 
 
 def _run_job(n_procs: int, timeout: float = 600.0) -> list:
@@ -55,44 +31,31 @@ def _run_job(n_procs: int, timeout: float = 600.0) -> list:
     per-test hang watchdog budgets the test as a whole, so one slow worker
     must not be granted a fresh full timeout after another already spent it.
     """
-    import time
-    port = _free_port()
-    env = _env(8 // n_procs)
-    deadline = time.monotonic() + timeout
-    procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(i), str(n_procs), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
-        for i in range(n_procs)]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(
-                timeout=max(1.0, deadline - time.monotonic()))
-            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-            outs.append(json.loads(out.strip().splitlines()[-1]))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-                p.communicate()
+    port = free_port()
+    results = python_workers(
+        [[_WORKER, str(i), str(n_procs), str(port)] for i in range(n_procs)],
+        timeout, env=child_env(8 // n_procs))
+    outs = [json.loads(out.strip().splitlines()[-1]) for _, out, _ in results]
     return [o["loss"] for o in sorted(outs, key=lambda o: o["pid"])]
 
 
 def _run_job_retry(n_procs: int) -> list:
     try:
         return _run_job(n_procs)
-    except (AssertionError, subprocess.TimeoutExpired):
+    except (WorkerFailure, subprocess.TimeoutExpired):
         # one retry: XLA:CPU collectives can nondeterministically deadlock on
         # this 1-core host (see __graft_entry__.dryrun_multichip); the
         # terminate timeouts turn that into a fast failure worth one re-run
         return _run_job(n_procs)
 
 
-@pytest.mark.watchdog(2400)
+@pytest.mark.watchdog(3000)
 def test_two_process_dp_matches_single_process():
-    # watchdog(2400): 3 jobs worst case (single + multi and one flake retry),
-    # each pair compiling two XLA programs concurrently on ONE core — the
-    # 900s default killed the whole suite mid-run here (observed)
+    # watchdog(3000): true worst case is 4 jobs (single + retry, multi +
+    # retry) at the 600s shared deadline each = 2400s of job time, plus
+    # spawn/compile overhead headroom — each pair compiles two XLA programs
+    # concurrently on ONE core; the 900s default killed the whole suite
+    # mid-run here (observed)
     single = _run_job_retry(1)
     multi = _run_job_retry(2)
     assert np.isfinite(single[0])
@@ -114,31 +77,25 @@ def test_two_process_training_cli(tmp_path):
     process-0 loss sidecar) through the real CLI front door."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "scripts", "train_pyramid.py")
-    port = _free_port()
-    env = _env(local_devices=2)   # 2 procs x 2 devices = 4-way global mesh
-    cmd = [sys.executable, script, "--net", "try3", "--platform", "cpu",
-           "--input_size", "128", "--batch_size", "2", "--iter", "4",
-           "--save_point", "4", "--max_gt", "8", "--lr", "1e-4",
-           "--num_processes", "2", "--coordinator", f"127.0.0.1:{port}",
-           "--annoPath", _MINI_TRAIN, "--save_folder", str(tmp_path) + "/"]
+    env = child_env(local_devices=2)  # 2 procs x 2 devices = 4-way global mesh
+
     def run_once():
-        procs = [subprocess.Popen(cmd + ["--process_id", str(i)],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.PIPE,
-                                  text=True, env=env, cwd=repo)
-                 for i in range(2)]
-        for p in procs:
-            try:
-                _, err = p.communicate(timeout=700)
-            finally:
-                if p.poll() is None:
-                    p.kill()
-                    p.communicate()
-            assert p.returncode == 0, f"trainer process failed:\n{err[-3000:]}"
+        # fresh port per attempt: a killed worker from a failed attempt must
+        # not be able to join the retry cluster as a duplicate process_id
+        port = free_port()
+        cmd = [script, "--net", "try3", "--platform", "cpu",
+               "--input_size", "128", "--batch_size", "2", "--iter", "4",
+               "--save_point", "4", "--max_gt", "8", "--lr", "1e-4",
+               "--num_processes", "2", "--coordinator", f"127.0.0.1:{port}",
+               "--annoPath", _MINI_TRAIN, "--save_folder", str(tmp_path) + "/"]
+        # shared 700s deadline for the whole 2-worker job (2 attempts fit the
+        # 2400s watchdog with headroom; per-worker timeouts would not)
+        python_workers([cmd + ["--process_id", str(i)] for i in range(2)],
+                       timeout=700, env=env, cwd=repo)
 
     try:
         run_once()
-    except (AssertionError, subprocess.TimeoutExpired):
+    except (WorkerFailure, subprocess.TimeoutExpired):
         run_once()  # one retry — the known XLA:CPU collective flake
     # one checkpoint, written once (orbax coordinates), plus process-0 sidecar
     assert os.path.isdir(tmp_path / "try3_pyramid_4")
