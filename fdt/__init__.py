@@ -21,4 +21,4 @@ Layering (bottom → top):
   fdt.ops        Pallas TPU kernels for the hot post-processing ops
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
