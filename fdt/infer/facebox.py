@@ -67,9 +67,13 @@ class FaceBoxDetector:
 
     def __init__(self, variables, cfg: FaceBoxConfig = FACEBOX,
                  budget: int = 2048, out_k: int = 750, dtype=None,
-                 precision: str = "highest", stem_impl: str | None = None):
+                 precision: str = "highest", stem_impl: str | None = None,
+                 quant: str | None = None):
         self.cfg = cfg
         self.model = FaceBox(dtype=dtype)
+        # opt-in int8 post-training quantization of the model convs (the s2d
+        # stem, when active, stays float — it is bandwidth-, not MXU-bound)
+        self.quant = quant
         # stage params on device ONCE: torch-converted checkpoints arrive as
         # host numpy, and passing those to a jitted call re-uploads ~4MB per
         # step — which over this environment's slow PCIe-tunnel measured 6x
@@ -92,8 +96,10 @@ class FaceBoxDetector:
     def _detect_impl(self, variables, images_u8):
         """images_u8: [B, S, S, 3] uint8 BGR → (boxes [B,K,4] normalized,
         scores [B,K], count [B])."""
+        from fdt.ops.quant import quantized
         x = images_u8.astype(jnp.float32) / 255.0
-        with jax.default_matmul_precision(self.precision):
+        with jax.default_matmul_precision(self.precision), \
+             quantized(self.quant):
             if self.stem_impl == "s2d":
                 feats = _stem_s2d(variables, x, self.precision)
                 loc, conf = self.model.apply(variables, feats, method="mscl")

@@ -48,7 +48,8 @@ class PyramidBoxDetector:
 
     def __init__(self, variables, model, cfg: PyramidConfig | str = "repo",
                  detect_cfg: DetectConfig | None = None,
-                 precision: str = "highest", budget: int = 5000):
+                 precision: str = "highest", budget: int = 5000,
+                 quant: str | None = None):
         if isinstance(cfg, str):
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
@@ -59,6 +60,9 @@ class PyramidBoxDetector:
         self.detect_cfg = detect_cfg or cfg.detect
         self.precision = precision
         self.budget = budget
+        # opt-in int8 post-training quantization (fdt.ops.quant); drift vs
+        # the float path is pinned in tests/test_quant.py
+        self.quant = quant
         self._mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
         # per-instance jit cache: an lru_cache on the bound method would keep
         # `self` (device params) alive in a process-global table forever.
@@ -92,10 +96,13 @@ class PyramidBoxDetector:
         dcfg = dataclasses.replace(self.detect_cfg, conf_thresh=conf_thresh,
                                    nms_thresh=nms_thresh)
 
+        from fdt.ops.quant import quantized
+
         @jax.jit
         def run(variables, images_u8):
             x = images_u8.astype(jnp.float32) - self._mean
-            with jax.default_matmul_precision(self.precision):
+            with jax.default_matmul_precision(self.precision), \
+                 quantized(self.quant):
                 out = self.model.apply(variables, x)
             assert out["source_shapes"] == tuple(shapes), (
                 f"traced source shapes {out['source_shapes']} != predicted {shapes}")

@@ -23,10 +23,21 @@ def pad2d(p) -> Sequence[tuple[int, int]]:
 
 def conv(features, kernel, stride=1, padding=0, *, name=None, use_bias=True,
          groups=1, dilation=1, dtype=None):
-    """nn.Conv with torch-style integer padding/dilation."""
+    """nn.Conv with torch-style integer padding/dilation.
+
+    Inside a `fdt.ops.quant.quantized("int8")` context (read at trace time)
+    this returns Int8Conv instead — same parameter structure, int8 MXU
+    contraction — which is how detectors' opt-in quantized inference reaches
+    every conv in the zoo without touching the model definitions.
+    """
     k = (kernel, kernel) if isinstance(kernel, int) else kernel
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    from fdt.ops.quant import Int8Conv, quant_mode
+    if quant_mode() == "int8":
+        return Int8Conv(features, k, strides=s, padding=pad2d(padding),
+                        use_bias=use_bias, feature_group_count=groups,
+                        kernel_dilation=d, name=name, dtype=dtype)
     return nn.Conv(features, k, strides=s, padding=pad2d(padding),
                    use_bias=use_bias, feature_group_count=groups,
                    kernel_dilation=d, name=name, dtype=dtype)
