@@ -95,7 +95,7 @@ TRY3_TRAINED = os.path.join(os.path.dirname(__file__), "net_weight",
 
 
 def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
-                       want_mfu=False, record=None, weights=None):
+                       want_mfu=False, record=None, weights=None, quant=None):
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector
@@ -110,7 +110,8 @@ def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, size, size, 3)))
     det = PyramidBoxDetector(variables, model, variant, budget=budget,
-                             precision="default" if dt is not None else "highest")
+                             precision="default" if dt is not None else "highest",
+                             quant=quant)
     images = np.broadcast_to(_sample_frame(size, size), (batch, size, size, 3)).copy()
     run = det._compiled(size, size, 0.35, 0.35)
 
@@ -592,9 +593,9 @@ def main():
     ap.add_argument("--budget", type=int, default=5000,
                     help="NMS candidate budget (5000 = reference nms_top_k)")
     ap.add_argument("--configs", default="all",
-                    help="comma list of flagship,facebox,mtcnn,try1,try3,"
-                         "tracker,tracker_device,try3_trained,train,"
-                         "train_bf16,dp_scaling")
+                    help="comma list of flagship,flagship_int8,facebox,mtcnn,"
+                         "try1,try3,tracker,tracker_device,try3_trained,"
+                         "train,train_bf16,dp_scaling")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the wedged-tunnel device probe")
@@ -611,8 +612,8 @@ def main():
                 "error": err}))
             sys.exit(1)
 
-    want = (list(BASELINE_FNS) + ["tracker_device", "try3_trained",
-                                  "dp_scaling"]
+    want = (list(BASELINE_FNS) + ["flagship_int8", "tracker_device",
+                                  "try3_trained", "dp_scaling"]
             if args.configs == "all"
             else [c.strip() for c in args.configs.split(",")])
     baselines = get_baselines(refresh=args.measure_baseline)
@@ -629,6 +630,15 @@ def main():
                 ips, mfu = measure_pyramidbox(args.flagship_batch, args.iters,
                                               args.dtype, args.budget, "repo",
                                               want_mfu=True, record="flagship")
+            elif name == "flagship_int8":
+                # opt-in post-training int8 path (fdt.ops.quant): int8×int8→
+                # int32 on the MXU at 2× the bf16 rate; accuracy drift pinned
+                # in tests/test_quant.py.  Compared against the same torch-CPU
+                # flagship baseline.
+                ips, _ = measure_pyramidbox(args.flagship_batch, args.iters,
+                                            args.dtype, args.budget, "repo",
+                                            record="flagship_int8",
+                                            quant="int8")
             elif name in ("try1", "try3"):
                 ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
                                             args.budget, name)
@@ -681,7 +691,8 @@ def main():
         unit = "frames/s" if name.startswith("tracker") else "images/s"
         if name.startswith("train"):
             unit = "images/s (train step)"
-        base_of = {"try3_trained": "try3", "tracker_device": "tracker"}
+        base_of = {"try3_trained": "try3", "tracker_device": "tracker",
+                   "flagship_int8": "flagship"}
         entry = {"value": round(v, 2) if v else None, "unit": unit,
                  "vs_baseline": ratio(v, base_of.get(name, name))}
         if name in _SPREADS:

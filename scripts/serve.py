@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""HTTP detection server: micro-batched TPU serving for any detector family.
+
+A capability beyond the reference (whose only online path is the per-frame
+webcam loop, Video.py:106-129): concurrent POST /detect requests coalesce into
+one device batch, so HTTP concurrency becomes MXU batch size.
+
+  python scripts/serve.py --detector pyramid --net repo --port 8000
+  curl -s -X POST --data-binary @face.jpg localhost:8000/detect
+  curl -s localhost:8000/healthz
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+
+
+def build_service(args):
+    from fdt.apps.serving import DetectionService
+    kw = dict(threshold=args.threshold, max_batch=args.max_batch,
+              max_wait_ms=args.max_wait_ms,
+              frame_size=(args.frame_w, args.frame_h))
+    if args.detector == "pyramid":
+        from fdt.models.loader import load_pyramidbox_detector
+        det = load_pyramidbox_detector(args.net, args.weights,
+                                       quant=args.quant, budget=5000)
+        return DetectionService("pyramidbox", det, **kw)
+    if args.detector == "facebox":
+        from fdt.models.loader import load_facebox_detector
+        det = load_facebox_detector(
+            args.weights or "/root/reference/FACEBOX/faceboxes.pt",
+            quant=args.quant)
+        return DetectionService("facebox", det, **kw)
+    base = "/root/reference/MTCNN/original_model"
+    from fdt.infer.mtcnn_device import load_device_cascade
+    det = load_device_cascade(f"{base}/pnet_epoch.pt", f"{base}/rnet_epoch.pt",
+                              f"{base}/onet_epoch.pt")
+    return DetectionService("mtcnn", det, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detector", default="pyramid",
+                    choices=["pyramid", "facebox", "mtcnn"])
+    ap.add_argument("--net", default="repo", help="pyramid variant")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--frame_w", type=int, default=640)
+    ap.add_argument("--frame_h", type=int, default=480)
+    ap.add_argument("--threshold", type=float, default=0.4)
+    ap.add_argument("--max_batch", type=int, default=32)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--quant", default=None, choices=[None, "int8"],
+                    help="opt-in int8 quantized inference (pyramid/facebox)")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip compiling all batch buckets at startup")
+    args = ap.parse_args()
+
+    from fdt.apps.serving import serve_http
+    service = build_service(args)
+    if not args.no_warmup:
+        print("warming up batch buckets (compiles one executable per "
+              "power-of-two batch size)...", flush=True)
+        service.warmup()
+    serve_http(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
