@@ -252,15 +252,17 @@ def measure_dp_scaling(size=128, iters=5):
     """§2.9 artifact: the SAME jitted DP train step on a 1- vs 8-device
     virtual CPU mesh, plus a TRUE 2-process × 4-device cluster
     (jax.distributed over Gloo — the multi-host pod layout, fdt.dist.multihost),
-    all in child processes (the bench process owns the TPU backend; the mesh
-    checks must be hermetic to it, like dryrun_multichip).
+    plus a 4×2 data×space mesh (spatial partitioning: image H sharded, conv
+    halo exchanges inserted by the SPMD partitioner), all in child processes
+    (the bench process owns the TPU backend; the mesh checks must be hermetic
+    to it, like dryrun_multichip).
 
     Returns {n1_ms, n8_ms, loss_rel_diff, proc2x4_ms, loss_rel_diff_2proc,
-    note}.  Every run uses the same GLOBAL batch (8) and data, so the losses
-    must agree to float tolerance — that is the correctness half.  The
-    wall-clock ratios are reported but this host has ONE physical core under
-    the virtual devices, so they measure SPMD/cluster overhead, not parallel
-    speedup."""
+    sp4x2_ms, loss_rel_diff_sp4x2, note}.  Every run uses the same GLOBAL
+    batch (8) and data, so the losses must agree to float tolerance — that is
+    the correctness half.  The wall-clock ratios are reported but this host
+    has ONE physical core under the virtual devices, so they measure
+    SPMD/cluster overhead, not parallel speedup."""
     import subprocess
 
     # same helpers as tests/test_multihost.py — ONE tested configuration of
@@ -280,12 +282,15 @@ if mode == "worker":
     from fdt.dist import multihost
     multihost.initialize(f"127.0.0.1:{{port}}", num_processes=nproc,
                          process_id=pid)
-from fdt.dist import make_mesh, multihost, replicated
+from fdt.dist import (make_mesh, make_mesh_2d, multihost, replicated,
+                      train_batch_specs)
 from fdt.models.pyramidbox import PyramidBox
 from fdt.train import PyramidTrainer, pad_targets
 
-n_mesh = int(sys.argv[2]) if mode == "local" else 8
-mesh = make_mesh(n_mesh)
+if mode == "local2d":  # 4-way data x 2-way spatial (image H) partitioning
+    mesh = make_mesh_2d(4, 2)
+else:
+    mesh = make_mesh(int(sys.argv[2]) if mode == "local" else 8)
 trainer = PyramidTrainer(PyramidBox(), "repo", input_size={size})
 state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
 state = jax.device_put(state, replicated(mesh))
@@ -297,8 +302,9 @@ if mode == "worker":
     lo, hi = multihost.process_batch_bounds(8)
 else:
     lo, hi = 0, 8
+specs = train_batch_specs(mesh, 3) if mode == "local2d" else None
 batch = multihost.globalize_batch(mesh, tuple(
-    a[lo:hi] for a in (images,) + tuple(gt)))
+    a[lo:hi] for a in (images,) + tuple(gt)), specs=specs)
 state, m = trainer.train_step(state, *batch, 1e-4)
 loss = float(jax.block_until_ready(m["loss"]))
 iters = int(sys.argv[-1])
@@ -314,8 +320,8 @@ print(json.dumps({{"loss": loss,
     def _parse(stdout):
         return json.loads(stdout.strip().splitlines()[-1])
 
-    def run_local(n):
-        r = subprocess.run([sys.executable, "-c", prog, "local", str(n),
+    def run_local(n, mode="local"):
+        r = subprocess.run([sys.executable, "-c", prog, mode, str(n),
                             str(iters)],
                            capture_output=True, text=True, timeout=1500,
                            cwd=cwd, env=child_env(8))
@@ -339,19 +345,26 @@ print(json.dumps({{"loss": loss,
 
     l1 = run_local(1)
     l8 = run_local(8)
+    retryable = (RuntimeError, AssertionError, subprocess.TimeoutExpired)
     try:
         p2 = run_2proc()
-    except (RuntimeError, AssertionError, subprocess.TimeoutExpired):
+    except retryable:
         # one retry — the known nondeterministic XLA:CPU collective
         # rendezvous deadlock (same policy as tests/test_multihost.py;
         # WorkerFailure is a RuntimeError); the terminate timeouts turn a
         # deadlock into a fast failure worth re-running
         p2 = run_2proc()
+    try:  # 4×2 data×space mesh: spatial partitioning adds halo collectives
+        sp = run_local(8, mode="local2d")
+    except retryable:
+        sp = run_local(8, mode="local2d")
     rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)
     return {"n1_ms": round(l1["ms"], 1), "n8_ms": round(l8["ms"], 1),
             "loss_rel_diff": rel(l8["loss"], l1["loss"]),
             "proc2x4_ms": round(p2["ms"], 1),
             "loss_rel_diff_2proc": rel(p2["loss"], l1["loss"]),
+            "sp4x2_ms": round(sp["ms"], 1),
+            "loss_rel_diff_sp4x2": rel(sp["loss"], l1["loss"]),
             "note": ("virtual devices share 1 physical core; ratios = "
                      "SPMD/cluster overhead, not speedup")}
 

@@ -22,13 +22,10 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over `n_devices` local devices.
-
-    If the default backend exposes fewer devices than requested (e.g. a single
-    tunneled TPU chip), fall back to the virtual-CPU backend so multi-chip
-    sharding can still be exercised (xla_force_host_platform_device_count).
-    """
+def _pick_devices(n_devices: int | None):
+    """Default-backend devices, falling back to the virtual-CPU backend when
+    fewer than `n_devices` exist (e.g. a single tunneled TPU chip vs an
+    xla_force_host_platform_device_count mesh)."""
     devices = list(jax.devices())
     if n_devices is not None and len(devices) < n_devices:
         try:
@@ -42,7 +39,27 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
                              f"{len(devices)} default + {len(cpu)} cpu")
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    return devices
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over `n_devices` local devices."""
+    return Mesh(np.asarray(_pick_devices(n_devices)), (axis_name,))
+
+
+def make_mesh_2d(n_data: int, n_space: int,
+                 axis_names: tuple[str, str] = ("data", "space")) -> Mesh:
+    """2-D (data × space) mesh for combined data + spatial parallelism.
+
+    `space` shards the image HEIGHT axis: the SPMD partitioner splits every
+    convolution's spatial extent across the axis and inserts the halo
+    exchanges itself — the vision analog of sequence parallelism (there is no
+    sequence axis in this workload, SURVEY §5; the "long axes" are spatial).
+    Use when one batch element's activations exceed a chip's HBM (large
+    inputs / small batches); plain DP (make_mesh) is the default otherwise.
+    """
+    devices = _pick_devices(n_data * n_space)
+    return Mesh(np.asarray(devices).reshape(n_data, n_space), axis_names)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
@@ -58,3 +75,21 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     """Place a host batch on the mesh, sharded along axis 0."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def train_batch_specs(mesh: Mesh, n_targets: int = 3):
+    """PartitionSpecs for one (images, *targets) train batch on `mesh`.
+
+    Images shard over (data[, space→H]); target tensors (GT boxes / labels /
+    valid masks) are small and shard over data only.  Works for both the 1-D
+    DP mesh and the 2-D data×space mesh, so driver code needs no branch.
+    """
+    img = P(*mesh.axis_names[:2]) if "space" in mesh.axis_names else P("data")
+    return (img,) + (P("data"),) * n_targets
+
+
+def shard_train_batch(mesh: Mesh, batch):
+    """Place an (images, *targets) batch per train_batch_specs."""
+    specs = train_batch_specs(mesh, len(batch) - 1)
+    return tuple(jax.device_put(x, NamedSharding(mesh, s))
+                 for x, s in zip(batch, specs))

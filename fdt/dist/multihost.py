@@ -61,19 +61,30 @@ def process_batch_bounds(global_batch: int,
     return i * per, (i + 1) * per
 
 
-def globalize_batch(mesh: Mesh, tree, axis_name: str = "data"):
+def globalize_batch(mesh: Mesh, tree, axis_name: str = "data", specs=None):
     """Process-local batch shard → global batch-sharded jax.Array tree.
 
     Each process passes only ITS rows (see process_batch_bounds); the result
     is a global array of global-batch size, sharded over `axis_name`.
     Single-process meshes degrade to a plain sharded device_put, so driver
     code needs no multi-process branch.
+
+    specs: optional flat tuple of PartitionSpecs, one per leaf of `tree` (in
+    tree order), overriding the default P(axis_name) — e.g.
+    fdt.dist.train_batch_specs' (P("data","space"), P("data"), ...) layout for
+    spatially partitioned images on a 2-D mesh.
     """
-    sharding = NamedSharding(mesh, P(axis_name))
-    if not sharding.addressable_devices:
+    leaves, treedef = jax.tree.flatten(tree)
+    if specs is None:
+        specs = (P(axis_name),) * len(leaves)
+    if len(specs) != len(leaves):
+        raise ValueError(f"{len(specs)} specs for {len(leaves)} batch leaves")
+    shardings = [NamedSharding(mesh, s) for s in specs]
+    if not shardings[0].addressable_devices:
         raise ValueError(
             "mesh contains none of this process's devices — build it over "
             "ALL processes' devices (make_mesh() after multihost.initialize); "
             f"mesh devices: {mesh.devices.ravel()[:4]}...")
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), tree)
+    return treedef.unflatten(
+        jax.make_array_from_process_local_data(s, x)
+        for x, s in zip(leaves, shardings))

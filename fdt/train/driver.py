@@ -129,8 +129,12 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
 def _training_loop(trainer, state, batches, cfg, val_dataset, history,
                    eval_losses, log, mesh=None):
     if mesh is not None:
-        from fdt.dist import multihost
-        place = lambda tree: multihost.globalize_batch(mesh, tree)
+        from fdt.dist import multihost, train_batch_specs
+        # (images, gt_boxes, gt_labels, gt_valid): images shard over
+        # (data[, space→H]) — a 2-D data×space mesh spatially partitions the
+        # convolutions — targets over data only
+        specs = train_batch_specs(mesh, n_targets=3)
+        place = lambda tree: multihost.globalize_batch(mesh, tree, specs=specs)
     else:
         place = lambda tree: tree
     # host-side sidecar writes happen once per cluster; orbax checkpoint

@@ -134,7 +134,7 @@ class PyramidTrainer:
                  loss_cfg: MultiBoxLossConfig = MultiBoxLossConfig(),
                  head_weight: float = 0.5, momentum: float = 0.6,
                  weight_decay: float = 1e-4, precision: str = "default",
-                 freeze_predicate=None):
+                 freeze_predicate=None, remat: bool = False):
         if isinstance(cfg, str):
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
@@ -142,6 +142,11 @@ class PyramidTrainer:
         self.loss_cfg = loss_cfg
         self.head_weight = head_weight
         self.precision = precision
+        # remat: recompute the forward during the backward pass instead of
+        # keeping every conv activation live (jax.checkpoint) — trades ~1/3
+        # more FLOPs for O(batch·H·W·C) less HBM, buying bigger batches at
+        # 640².  Gradients are mathematically identical (same ops re-run).
+        self.remat = remat
         # backbone-freeze window (zero_grad_pretrained_layer,
         # MyTrain_mobile.py:185-186): predicate over '/'-joined param paths
         self.freeze_predicate = freeze_predicate
@@ -186,11 +191,15 @@ class PyramidTrainer:
                           batch_stats=variables["batch_stats"],
                           opt_state=self.tx.init(params))
 
-    def _losses(self, params, batch_stats, images, gt_boxes, gt_labels, gt_valid):
+    def _forward(self, params, batch_stats, images):
         with jax.default_matmul_precision(self.precision):
-            out, mutated = self.model.apply(
+            return self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
+
+    def _losses(self, params, batch_stats, images, gt_boxes, gt_labels, gt_valid):
+        fwd = jax.checkpoint(self._forward) if self.remat else self._forward
+        out, mutated = fwd(params, batch_stats, images)
         # mixed-precision invariant: every model variant casts its head
         # outputs to f32 before returning (pyramidbox.py / pyramidbox_mobile.py
         # concat sites), so the matching/hard-neg-mining/log-sum-exp loss math

@@ -1,11 +1,13 @@
-"""Multi-device mesh tests: sharding, implicit gradient psum, 8-device DP."""
+"""Multi-device mesh tests: sharding, implicit gradient psum, 8-device DP,
+2-D data×space spatial partitioning."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from fdt.dist import batch_sharding, make_mesh, replicated, shard_batch
+from fdt.dist import (batch_sharding, make_mesh, make_mesh_2d, replicated,
+                      shard_batch, shard_train_batch, train_batch_specs)
 
 
 def test_make_mesh_eight_devices():
@@ -39,6 +41,89 @@ def test_dp_gradient_matches_single_device(rng):
     g_sharded = jax.jit(jax.grad(loss))(ws, xs, ys)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_make_mesh_2d_shape():
+    mesh = make_mesh_2d(4, 2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    assert train_batch_specs(mesh, 2) == (P("data", "space"), P("data"),
+                                          P("data"))
+    assert train_batch_specs(make_mesh(8), 2) == (P("data"),) * 3
+
+
+def test_spatial_conv_gradient_matches_single_device(rng):
+    """Convolutions over an H-sharded image: the SPMD partitioner must insert
+    the halo exchanges so values and gradients match the unsharded run — this
+    is the correctness core of the data×space mesh."""
+    mesh = make_mesh_2d(2, 4)
+    k1 = rng.randn(3, 3, 3, 8).astype(np.float32) * 0.1
+    k2 = rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+
+    def loss(ks, x):
+        h = jax.lax.conv_general_dilated(x, ks[0], (1, 1), "SAME",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jax.nn.relu(h)
+        h = jax.lax.conv_general_dilated(h, ks[1], (2, 2), "SAME",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.mean(h ** 2)
+
+    ks = (jnp.asarray(k1), jnp.asarray(k2))
+    l_single, g_single = jax.value_and_grad(loss)(ks, jnp.asarray(x))
+
+    ks_r = jax.device_put(ks, replicated(mesh))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    l_sp, g_sp = jax.jit(jax.value_and_grad(loss))(ks_r, x_s)
+    np.testing.assert_allclose(float(l_sp), float(l_single), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sp_train_step_matches_single_device(rng):
+    """Full PyramidBox train step on a 4×2 data×space mesh (images H-sharded
+    through the driver's globalize_batch specs path) reproduces the
+    single-device loss and parameter update."""
+    from fdt.dist import multihost
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    from fdt.train import PyramidTrainer, pad_targets
+
+    trainer = PyramidTrainer(build_pyramidbox("try3"), "try3", input_size=64)
+    # host snapshot: train_step donates (and deletes) its input state
+    host_state = jax.device_get(trainer.init_state(jax.random.PRNGKey(0)))
+    images = (rng.rand(8, 64, 64, 3) * 255).astype(np.float32)
+    targets = [np.array([[0.2, 0.2, 0.6, 0.6, 0.0]], np.float32)] * 8
+    batch = (images,) + pad_targets(targets, max_gt=4)
+
+    s_ref, m_ref = trainer.train_step(
+        jax.tree.map(jnp.asarray, host_state), *batch, 1e-4)
+    loss_ref = float(m_ref["loss"])
+
+    mesh = make_mesh_2d(4, 2)
+    state = jax.device_put(host_state, replicated(mesh))
+    sp_batch = multihost.globalize_batch(mesh, batch,
+                                         specs=train_batch_specs(mesh, 3))
+    assert sp_batch[0].sharding.spec == P("data", "space")
+    s_sp, m_sp = trainer.train_step(state, *sp_batch, 1e-4)
+    np.testing.assert_allclose(float(m_sp["loss"]), loss_ref,
+                               rtol=1e-4, atol=1e-5)
+    # Parameter updates agree to float tolerance.  Two benign drift sources:
+    # sharded-reduction order (BN stats, loss sums) and — the dominant one —
+    # hard-negative mining's RANK selection, where a 1-ulp score difference
+    # can swap which negatives are mined, giving isolated O(lr) param deltas.
+    # Exact halo-exchange math is pinned separately (and tightly) by
+    # test_spatial_conv_gradient_matches_single_device.
+    ref_leaves = jax.tree.leaves(s_ref.params)
+    sp_leaves = jax.tree.leaves(s_sp.params)
+    for a, b in zip(sp_leaves[::7], ref_leaves[::7]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=3e-4)
+
+    # shard_train_batch places the same layout without the multihost path
+    direct = shard_train_batch(mesh, batch)
+    assert direct[0].sharding.spec == P("data", "space")
+    assert direct[1].sharding.spec == P("data")
 
 
 @pytest.mark.slow

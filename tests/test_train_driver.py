@@ -305,3 +305,26 @@ def test_bf16_mixed_precision_training(rng):
     assert abs(losses["bf16"][0] - losses["f32"][0]) \
         <= 0.05 * abs(losses["f32"][0])
     assert losses["bf16"][-1] < losses["bf16"][0]
+
+
+@pytest.mark.slow
+def test_remat_train_step_matches_plain(rng):
+    """jax.checkpoint rematerialization (the scripts/train_pyramid.py --remat
+    path) re-runs the same forward ops in the backward pass, so the loss and
+    the updated parameters must match the plain trainer to float tolerance."""
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+
+    batch = make_batch(rng)
+    states, metrics = {}, {}
+    for name, remat in (("plain", False), ("remat", True)):
+        trainer = PyramidTrainer(build_pyramidbox("try3"), "try3",
+                                 input_size=128, remat=remat)
+        state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
+        states[name], metrics[name] = trainer.train_step(state, *batch, 1e-3)
+    np.testing.assert_allclose(float(metrics["remat"]["loss"]),
+                               float(metrics["plain"]["loss"]),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(states["remat"].params),
+                    jax.tree.leaves(states["plain"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
