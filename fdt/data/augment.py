@@ -212,3 +212,12 @@ def pyramid_normal_augment(image, boxes_percent, labels, rng, size: int = 640,
     img = img / 256.0
     img = (img - np.array(mean, np.float32)) / np.array(std, np.float32)
     return img.astype(np.float32), boxes, labels
+
+
+def base_transform(image, size: int, mean=(104, 117, 123)):
+    """Plain resize + mean-subtract eval transform (BaseTransform,
+    reference data/__init__.py:6-21; unused by the reference's main paths but
+    part of its exported data API)."""
+    import cv2
+    x = cv2.resize(image, (size, size)).astype(np.float32)
+    return x - np.array(mean, np.float32)

@@ -145,3 +145,18 @@ def test_dataset_drops_zero_face_records(tmp_path):
                     f"{p} 1 10 10 30 30\n")
     ds = WiderFaceDataset(str(anno))
     assert len(ds) == 2
+
+
+def test_base_transform_matches_reference_formula(rng):
+    """base_transform = resize(size,size) + mean subtract (reference
+    data/__init__.py:6-21)."""
+    import cv2
+
+    from fdt.data.augment import base_transform
+
+    img = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    got = base_transform(img, 16)
+    want = cv2.resize(img, (16, 16)).astype(np.float32) - \
+        np.array((104, 117, 123), np.float32)
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.float32
