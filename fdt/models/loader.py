@@ -44,6 +44,19 @@ def save_variables_npz(variables, path: str, dtype=np.float16):
     np.savez_compressed(path, **flat)
 
 
+def save_variables_pth(variables, path: str, inverse_transforms=None):
+    """Write model variables as a torch `.pth` state dict — the reverse
+    interop direction: fdt-trained weights loadable by the reference repo's
+    torch models (`net.load_state_dict(torch.load(path))`, pyramid.py:353-364).
+    Layout inversion handled by fdt.models.torch_convert.flax_to_torch."""
+    import torch
+
+    from fdt.models.torch_convert import flax_to_torch
+    sd = flax_to_torch(jax.device_get(variables),
+                       inverse_transforms=inverse_transforms)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+
 def _load_variables_npz(path: str):
     out: dict = {}
     with np.load(path) as z:

@@ -90,9 +90,10 @@ class ONet(nn.Module):
         return det.astype(jnp.float32), box.astype(jnp.float32), landmark.astype(jnp.float32)
 
 
-def mtcnn_linear_transforms(net: str):
+def mtcnn_linear_transforms(net: str, inverse: bool = False):
     """Per-checkpoint fixups: torch flattens NCHW before the first Linear; our
-    NHWC flatten needs the weight columns permuted (C,H,W) → (H,W,C)."""
+    NHWC flatten needs the weight columns permuted (C,H,W) → (H,W,C).
+    inverse=True gives the export-side fixup (flax_to_torch)."""
     spec = {"rnet": ("conv4.weight", 64, 2, 2),
             "onet": ("conv5.weight", 128, 2, 2)}.get(net)
     if spec is None:
@@ -103,4 +104,19 @@ def mtcnn_linear_transforms(net: str):
         out = weight.shape[0]
         return weight.reshape(out, c, h, w).transpose(0, 2, 3, 1).reshape(out, -1)
 
-    return {key: fix}
+    def unfix(weight):  # (out, H*W*C) → torch (out, C*H*W)
+        out = weight.shape[0]
+        return weight.reshape(out, h, w, c).transpose(0, 3, 1, 2).reshape(out, -1)
+
+    return {key: unfix if inverse else fix}
+
+
+def mtcnn_export_extras(net: str):
+    """Zero-filled entries for the reference nets' DEAD landmark heads —
+    defined but commented out of forward (PNet.conv4_3 / RNet.conv5_3,
+    MTCNN/mtcnn/core/models.py:100,111 and :152,169) — which a strict torch
+    load_state_dict still demands.  Behaviorally inert (never executed)."""
+    shapes = {"pnet": {"conv4_3.weight": (10, 32, 1, 1), "conv4_3.bias": (10,)},
+              "rnet": {"conv5_3.weight": (10, 128), "conv5_3.bias": (10,)}}
+    return {k: np.zeros(s, np.float32)
+            for k, s in shapes.get(net, {}).items()}

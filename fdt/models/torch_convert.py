@@ -93,3 +93,47 @@ def torch_to_flax(state_dict: Mapping[str, np.ndarray], variables,
         raise KeyError(f"missing torch keys: {missing[:10]}"
                        f"{' …' if len(missing) > 10 else ''}")
     return out
+
+
+def flax_to_torch(variables, prefix: str = "",
+                  inverse_transforms=None, extra=None) -> dict[str, np.ndarray]:
+    """Inverse of torch_to_flax: flax variables → torch state-dict (numpy).
+
+    Lets reference users take fdt-trained weights BACK to the torch repo:
+    4D kernels (kH,kW,I,O) → (O,I,kH,kW), 2D (I,O) → (O,I), BN
+    scale/mean/var → weight/running_mean/running_var, scalar leaves (PReLU)
+    → shape-(1,) tensors, plus the `num_batches_tracked` bookkeeping entry
+    torch BatchNorm modules expect on a strict load_state_dict.
+
+    inverse_transforms: {torch_key: fn} applied AFTER the layout transpose —
+    must invert any import-side `transforms` fixups (e.g.
+    mtcnn_linear_transforms(net, inverse=True)).  Round-trip with
+    torch_to_flax is bit-exact for f32 variables (tests/test_torch_export.py).
+
+    extra: {torch_key: array} appended verbatim — for parameters the torch
+    module DEFINES but never runs, which a strict load_state_dict still
+    demands (e.g. MTCNN's dead landmark heads, mtcnn_export_extras).
+    """
+    inverse_transforms = inverse_transforms or {}
+    sd: dict[str, np.ndarray] = dict(extra or {})
+
+    def emit(path, leaf):
+        key = prefix + _torch_key(path)
+        w = np.asarray(leaf, np.float32)  # torch reference nets are f32
+        if w.ndim == 4:
+            w = w.transpose(3, 2, 0, 1)
+        elif w.ndim == 2:
+            w = w.T
+        elif w.ndim == 0:
+            w = w.reshape(1)  # torch PReLU() weight is shape (1,)
+        if key in inverse_transforms:
+            w = np.asarray(inverse_transforms[key](w))
+        sd[key] = np.ascontiguousarray(w)
+        leaf_name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if str(path[0].key) == "batch_stats" and leaf_name == "mean":
+            sd[key.rsplit(".", 1)[0] + ".num_batches_tracked"] = \
+                np.array(0, np.int64)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(emit, variables)
+    return sd

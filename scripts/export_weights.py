@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Export a TrainState checkpoint (orbax dir) to a compact variables .npz.
+"""Export a TrainState checkpoint (orbax dir) to a shippable weight artifact.
 
-The npz holds params (f16) + batch_stats (f32) only — the shippable artifact
-for trained weights (the optimizer state and step stay in the orbax dir).
+--out *.npz  → compact variables npz: params (f16) + batch_stats (f32) only
+               (the optimizer state and step stay in the orbax dir).
+--out *.pth  → torch state dict loadable by the REFERENCE repo's models
+               (net.load_state_dict semantics, pyramid.py:353-364) — the
+               reverse interop direction.
 
 Example:
   python scripts/export_weights.py --checkpoint weights_of_mine/try3_pyramid_3000 \
@@ -13,7 +16,8 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
-from fdt.models.loader import load_variables, save_variables_npz
+from fdt.models.loader import (load_variables, save_variables_npz,
+                               save_variables_pth)
 
 
 def main():
@@ -28,7 +32,10 @@ def main():
     args = ap.parse_args()
 
     variables = load_variables(None, args.checkpoint, 0)
-    save_variables_npz(variables, args.out)
+    if args.out.endswith((".pth", ".pt")):
+        save_variables_pth(variables, args.out)
+    else:
+        save_variables_npz(variables, args.out)
     print(f"wrote {args.out} ({_os.path.getsize(args.out) / 1e6:.1f} MB)")
 
     if args.check:
