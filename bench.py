@@ -248,6 +248,57 @@ def measure_train(batch=8, iters=10, size=640, dtype="float32"):
     return batch * iters / dt_s, mfu
 
 
+def measure_remat(batch=8, iters=10, size=640):
+    """Opt-in (--configs train_remat): the PyramidBox-ResNet50 train step
+    compiled plain vs two remat strategies, reporting XLA's measured
+    temp-buffer (activation) memory and the step-time cost:
+      * "full"   — one jax.checkpoint around the whole forward (measured
+        NEARLY USELESS here: 0.95× temp for 1.2× time — the backward's
+        full-forward recompute re-materializes everything at once);
+      * "blocks" — per-Bottleneck segmented nn.remat (PyramidBox(remat=True),
+        the scripts/train_pyramid.py --remat path): only block-boundary
+        activations stay live."""
+    import jax
+    import jax.numpy as jnp
+    from fdt.models.pyramidbox import PyramidBox
+    from fdt.train import PyramidTrainer, pad_targets
+
+    rng = np.random.RandomState(0)
+    images_h = rng.rand(batch, size, size, 3).astype(np.float32) * 255
+    targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0], [0.5, 0.5, 0.9, 0.9, 0]],
+                        np.float32)] * batch
+    out = {}
+    for name, remat in (("plain", False), ("full", "trainer"),
+                        ("blocks", "model")):
+        trainer = PyramidTrainer(PyramidBox(remat=remat == "model"), "repo",
+                                 input_size=size, precision="default",
+                                 remat=remat == "trainer")
+        state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0),
+                                                  abstract=True))
+        images = jax.device_put(images_h)
+        gt = jax.device_put(pad_targets(targets, max_gt=8))
+        compiled = trainer.train_step.lower(state, images, *gt, 1e-4).compile()
+        mem = compiled.memory_analysis()
+        temp_mb = getattr(mem, "temp_size_in_bytes", 0) / 1e6
+        state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+        jax.block_until_ready(metrics["loss"])
+        out[name] = {"temp_mb": round(temp_mb, 1),
+                     "ips": round(batch * iters / (time.perf_counter() - t0), 2),
+                     "loss": float(metrics["loss"])}
+    for k in ("full", "blocks"):
+        out[f"temp_ratio_{k}"] = round(out[k]["temp_mb"] /
+                                       max(out["plain"]["temp_mb"], 1e-9), 3)
+        out[f"loss_rel_diff_{k}"] = abs(out[k]["loss"] - out["plain"]["loss"]) \
+            / max(abs(out["plain"]["loss"]), 1e-9)
+    for k in ("plain", "full", "blocks"):
+        del out[k]["loss"]
+    return out
+
+
 def measure_dp_scaling(size=128, iters=5):
     """§2.9 artifact: the SAME jitted DP train step on a 1- vs 8-device
     virtual CPU mesh, plus a TRUE 2-process × 4-device cluster
@@ -608,7 +659,7 @@ def main():
     ap.add_argument("--configs", default="all",
                     help="comma list of flagship,flagship_int8,facebox,mtcnn,"
                          "try1,try3,tracker,tracker_device,try3_trained,"
-                         "train,train_bf16,dp_scaling")
+                         "train,train_bf16,train_remat,dp_scaling")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the wedged-tunnel device probe")
@@ -684,6 +735,9 @@ def main():
             elif name == "dp_scaling":
                 results[name] = measure_dp_scaling()
                 continue
+            elif name == "train_remat":
+                results[name] = measure_remat()
+                continue
             else:
                 continue
             results[name] = ips
@@ -698,7 +752,7 @@ def main():
                                   and name not in results):
             continue
         v = results.get(name)
-        if name == "dp_scaling":
+        if name in ("dp_scaling", "train_remat"):
             extras[name] = v  # dict artifact, not a throughput
             continue
         unit = "frames/s" if name.startswith("tracker") else "images/s"

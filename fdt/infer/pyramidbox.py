@@ -49,11 +49,20 @@ class PyramidBoxDetector:
     def __init__(self, variables, model, cfg: PyramidConfig | str = "repo",
                  detect_cfg: DetectConfig | None = None,
                  precision: str = "highest", budget: int = 5000,
-                 quant: str | None = None):
+                 quant: str | None = None, mesh=None):
         if isinstance(cfg, str):
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
         self.model = model
+        # mesh: optional jax.sharding.Mesh for data-parallel batched
+        # inference — params replicate, detect_tensor batches shard over the
+        # `data` axis (padded to a mesh multiple) and XLA runs the whole
+        # detect graph SPMD.  Per-example math is unchanged (batch elements
+        # are independent), so results equal the unsharded detector.
+        self.mesh = mesh
+        if mesh is not None:
+            from fdt.dist import replicated
+            variables = jax.device_put(variables, replicated(mesh))
         # stage params on device ONCE — host-numpy checkpoint trees would
         # otherwise re-upload over the host link on every jitted call
         self.variables = jax.device_put(variables)
@@ -118,6 +127,16 @@ class PyramidBoxDetector:
         run = self._compiled(w, h,
                              self.detect_cfg.conf_thresh if conf_thresh is None else conf_thresh,
                              self.detect_cfg.nms_thresh if nms_thresh is None else nms_thresh)
+        if self.mesh is not None:
+            from fdt.dist import batch_sharding
+            n = self.mesh.devices.size
+            pad = -b % n
+            if pad:  # replicate the last row up to a mesh multiple
+                images_u8 = np.concatenate(
+                    [images_u8, np.repeat(images_u8[-1:], pad, 0)])
+            images_u8 = jax.device_put(images_u8, batch_sharding(self.mesh))
+            return np.asarray(jax.device_get(
+                run(self.variables, images_u8)))[:b]
         return np.asarray(jax.device_get(run(self.variables, images_u8)))
 
     def detect_face(self, image_bgr: np.ndarray, threshold: float,

@@ -311,11 +311,18 @@ class PyramidBoxMobileV2(nn.Module):
                        [c2, c3, c4, c5, c6], self.return_features)
 
 
-def build_pyramidbox(variant: str, dtype=None, return_features: bool = False):
-    """Builder covering the whole family (reference build_sfd / build_sfd_mobile)."""
+def build_pyramidbox(variant: str, dtype=None, return_features: bool = False,
+                     remat: bool = False):
+    """Builder covering the whole family (reference build_sfd / build_sfd_mobile).
+
+    remat: per-block segmented rematerialization (flagship only — the mobile
+    variants' activations are small enough that remat only costs time)."""
     from fdt.models.pyramidbox import PyramidBox
     if variant == "repo":
-        return PyramidBox(dtype=dtype, return_features=return_features)
+        return PyramidBox(dtype=dtype, return_features=return_features,
+                          remat=remat)
+    if remat:
+        raise ValueError("remat is only wired for the 'repo' flagship")
     if variant in ("try1", "try2"):
         return PyramidBoxMobileV1(variant=variant, dtype=dtype,
                                   return_features=return_features)

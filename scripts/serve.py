@@ -22,8 +22,13 @@ def build_service(args):
               frame_size=(args.frame_w, args.frame_h))
     if args.detector == "pyramid":
         from fdt.models.loader import load_pyramidbox_detector
+        mesh = None
+        if args.dp_devices:  # shard each coalesced batch over the mesh
+            from fdt.dist import make_mesh
+            mesh = make_mesh(args.dp_devices)
         det = load_pyramidbox_detector(args.net, args.weights,
-                                       quant=args.quant, budget=5000)
+                                       quant=args.quant, budget=5000,
+                                       mesh=mesh)
         return DetectionService("pyramidbox", det, **kw)
     if args.detector == "facebox":
         from fdt.models.loader import load_facebox_detector
@@ -53,6 +58,9 @@ def main():
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--quant", default=None, choices=[None, "int8"],
                     help="opt-in int8 quantized inference (pyramid/facebox)")
+    ap.add_argument("--dp_devices", default=0, type=int,
+                    help="data-parallel serving (pyramid): shard each "
+                         "micro-batch over an n-device mesh")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip compiling all batch buckets at startup")
     args = ap.parse_args()

@@ -41,10 +41,12 @@ def main():
                          "compute, f32 params/optimizer/loss (flax "
                          "param_dtype stays float32)")
     ap.add_argument("--remat", action="store_true",
-                    help="rematerialize the forward in the backward pass "
-                         "(jax.checkpoint): ~1/3 more FLOPs for far less "
-                         "activation HBM — enables bigger batches at 640²; "
-                         "gradients are mathematically identical")
+                    help="rematerialize activations in the backward pass: "
+                         "per-Bottleneck segmented nn.remat on the flagship "
+                         "(only block-boundary activations stay live), "
+                         "whole-forward jax.checkpoint on mobile variants; "
+                         "trades recompute FLOPs for activation HBM — bigger "
+                         "batches per chip, same gradients")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the jax backend (config.update — env vars are "
                          "not read here, jax is pre-imported); cpu makes the "
@@ -91,11 +93,13 @@ def main():
         mesh = make_mesh(args.dp_devices or None)
     import jax.numpy as jnp
     model = build_pyramidbox(args.net,
-                             dtype=jnp.bfloat16 if args.bf16 else None)
+                             dtype=jnp.bfloat16 if args.bf16 else None,
+                             remat=args.remat and args.net == "repo")
     freeze = (lambda p: "features" in p) if args.net in ("try3", "try4", "try5") else None
     trainer = PyramidTrainer(model, args.net, momentum=args.momentum,
                              input_size=args.input_size,
-                             freeze_predicate=freeze, remat=args.remat)
+                             freeze_predicate=freeze,
+                             remat=args.remat and args.net != "repo")
     # abstract=True: bit-identical to the compiled init path (pinned by
     # tests/test_train_driver.py) from a shape-only trace — saves a separate
     # multi-minute init compile before the train-step compile on slow hosts

@@ -127,6 +127,26 @@ def test_sp_train_step_matches_single_device(rng):
 
 
 @pytest.mark.slow
+def test_dp_inference_matches_unsharded(rng):
+    """PyramidBoxDetector(mesh=...): batched detect sharded over the data
+    axis (with a non-multiple batch padded to the mesh size) must reproduce
+    the unsharded detector exactly — batch elements are independent."""
+    from fdt.infer.pyramidbox import PyramidBoxDetector
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+
+    model = build_pyramidbox("try3")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    det = PyramidBoxDetector(variables, model, "try3", budget=1024)
+    det_dp = PyramidBoxDetector(variables, model, "try3", budget=1024,
+                                mesh=make_mesh(8))
+    images = rng.randint(0, 255, (5, 128, 128, 3), np.uint8)  # pads 5 → 8
+    want = det.detect_tensor(images, 0.1, 0.35)
+    got = det_dp.detect_tensor(images, 0.1, 0.35)
+    assert got.shape == want.shape  # padding rows sliced back off
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_dp_train_step_on_mesh(rng):
     """One real PyramidBox train step sharded over 8 devices (tiny shapes)."""
     from fdt.models.pyramidbox_mobile import build_pyramidbox
