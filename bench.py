@@ -277,14 +277,17 @@ def measure_remat(batch=8, iters=10, size=640):
                                                   abstract=True))
         images = jax.device_put(images_h)
         gt = jax.device_put(pad_targets(targets, max_gt=8))
+        # reuse the ONE AOT executable for memory_analysis AND the timed
+        # steps — trainer.train_step(...) would jit-compile a second copy of
+        # the same ~10min 640² fwd+bwd graph
         compiled = trainer.train_step.lower(state, images, *gt, 1e-4).compile()
         mem = compiled.memory_analysis()
         temp_mb = getattr(mem, "temp_size_in_bytes", 0) / 1e6
-        state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+        state, metrics = compiled(state, images, *gt, 1e-4)
         jax.block_until_ready(metrics["loss"])
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+            state, metrics = compiled(state, images, *gt, 1e-4)
         jax.block_until_ready(metrics["loss"])
         out[name] = {"temp_mb": round(temp_mb, 1),
                      "ips": round(batch * iters / (time.perf_counter() - t0), 2),

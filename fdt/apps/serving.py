@@ -58,7 +58,10 @@ class MicroBatcher:
         self._closed = False
         self.requests = 0
         self.batches = 0
-        self.batch_sizes: list[int] = []
+        # running aggregates, not a per-batch list: a long-running server
+        # would otherwise leak one entry per batch and pay O(n) per /healthz
+        self._size_sum = 0
+        self._size_max = 0
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="fdt-microbatcher")
         self._worker.start()
@@ -74,13 +77,28 @@ class MicroBatcher:
         return fut
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting requests, drain in-flight ones, join the worker."""
+        """Stop accepting requests, drain in-flight ones, join the worker.
+
+        If the worker doesn't finish within `timeout` (e.g. stuck in a long
+        cold-bucket compile), still-queued futures are failed instead of left
+        pending forever — a caller blocked in fut.result() must get an error,
+        not a hang, when the daemon worker dies with the process."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
         self._q.put(_SENTINEL)
         self._worker.join(timeout)
+        if self._worker.is_alive():
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not _SENTINEL and not item[0].done():
+                    item[0].set_exception(
+                        RuntimeError("MicroBatcher closed before this "
+                                     "request was served"))
 
     def __enter__(self):
         return self
@@ -89,10 +107,10 @@ class MicroBatcher:
         self.close()
 
     def stats(self) -> dict:
-        sizes = self.batch_sizes
-        return {"requests": self.requests, "batches": self.batches,
-                "max_batch_size": max(sizes) if sizes else 0,
-                "mean_batch_size": (sum(sizes) / len(sizes)) if sizes else 0.0}
+        n = self.batches
+        return {"requests": self.requests, "batches": n,
+                "max_batch_size": self._size_max,
+                "mean_batch_size": (self._size_sum / n) if n else 0.0}
 
     def _run(self) -> None:
         while True:
@@ -114,21 +132,29 @@ class MicroBatcher:
                     stop = True
                     break
                 batch.append(item)
-            futures = [f for f, _ in batch]
-            try:
-                results = self._batch_fn([it for _, it in batch])
-                if len(results) != len(futures):
-                    raise RuntimeError(
-                        f"batch_fn returned {len(results)} results for "
-                        f"{len(futures)} items")
-                for fut, res in zip(futures, results):
-                    fut.set_result(res)
-            except Exception as e:  # noqa: BLE001 — relay to the callers
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(e)
+            # Claim every future before running: set_running_or_notify_cancel
+            # locks out fut.cancel(), so a client-cancelled future can't make
+            # set_result raise InvalidStateError mid-loop (which would poison
+            # the OTHER requests of the batch with a spurious error).
+            live = [(f, it) for f, it in batch
+                    if f.set_running_or_notify_cancel()]
+            futures = [f for f, _ in live]
+            if futures:
+                try:
+                    results = self._batch_fn([it for _, it in live])
+                    if len(results) != len(futures):
+                        raise RuntimeError(
+                            f"batch_fn returned {len(results)} results for "
+                            f"{len(futures)} items")
+                    for fut, res in zip(futures, results):
+                        fut.set_result(res)
+                except Exception as e:  # noqa: BLE001 — relay to the callers
+                    for fut in futures:
+                        if not fut.done():
+                            fut.set_exception(e)
             self.batches += 1
-            self.batch_sizes.append(len(futures))
+            self._size_sum += len(futures)
+            self._size_max = max(self._size_max, len(futures))
             if stop:
                 return
 
@@ -163,6 +189,9 @@ class DetectionService:
         self.frame_w, self.frame_h = frame_size
         self.threshold = threshold
         self.nms_thresh = nms_thresh
+        # serializes _run_batch between the batcher worker and warmup():
+        # the detectors' LRU jit caches are not safe under concurrent mutation
+        self._infer_lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms)
 
@@ -214,7 +243,8 @@ class DetectionService:
         pad = _bucket(n, self.batcher.max_batch) - n
         if pad:
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
-        rows = getattr(self, f"_rows_{self.family}")(frames)
+        with self._infer_lock:
+            rows = getattr(self, f"_rows_{self.family}")(frames)
         return [rows[i](*sizes[i]) for i in range(n)]
 
     def _rows_pyramidbox(self, frames):
@@ -273,12 +303,15 @@ class DetectionService:
 
 
 def make_http_server(service: DetectionService, host: str = "127.0.0.1",
-                     port: int = 0):
+                     port: int = 0, max_body_bytes: int = 64 << 20):
     """Build (don't start) a ThreadingHTTPServer around a DetectionService.
 
     POST /detect    body = encoded image (jpg/png/...; anything cv2.imdecode
                     reads) -> {"detections": [[x1,y1,x2,y2,score,...], ...]}.
                     Optional ?threshold=T post-filters rows by score.
+                    Bodies over `max_body_bytes` (64 MB default) are rejected
+                    with 413 before buffering — a client-declared
+                    Content-Length must not be able to OOM the server.
     GET  /healthz   -> {"status": "ok", ...service stats}.
 
     The caller owns the lifecycle: server.serve_forever() (usually on a
@@ -310,6 +343,10 @@ def make_http_server(service: DetectionService, host: str = "127.0.0.1",
             try:
                 import cv2
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    self._reply(413, {"error": f"body {length} bytes exceeds "
+                                               f"limit {max_body_bytes}"})
+                    return
                 raw = self.rfile.read(length)
                 img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                    cv2.IMREAD_COLOR)

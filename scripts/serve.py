@@ -36,10 +36,18 @@ def build_service(args):
             args.weights or "/root/reference/FACEBOX/faceboxes.pt",
             quant=args.quant)
         return DetectionService("facebox", det, **kw)
-    base = "/root/reference/MTCNN/original_model"
+    if args.quant:
+        raise SystemExit("--quant is not supported for the mtcnn cascade")
     from fdt.infer.mtcnn_device import load_device_cascade
-    det = load_device_cascade(f"{base}/pnet_epoch.pt", f"{base}/rnet_epoch.pt",
-                              f"{base}/onet_epoch.pt")
+    if args.weights:  # comma-separated pnet,rnet,onet checkpoint paths
+        paths = args.weights.split(",")
+        if len(paths) != 3:
+            raise SystemExit("--weights for mtcnn must be 'pnet.pt,rnet.pt,"
+                             f"onet.pt' (got {len(paths)} paths)")
+    else:
+        base = "/root/reference/MTCNN/original_model"
+        paths = [f"{base}/{n}_epoch.pt" for n in ("pnet", "rnet", "onet")]
+    det = load_device_cascade(*paths)
     return DetectionService("mtcnn", det, **kw)
 
 
@@ -48,7 +56,9 @@ def main():
     ap.add_argument("--detector", default="pyramid",
                     choices=["pyramid", "facebox", "mtcnn"])
     ap.add_argument("--net", default="repo", help="pyramid variant")
-    ap.add_argument("--weights", default=None)
+    ap.add_argument("--weights", default=None,
+                    help="checkpoint path; for --detector mtcnn: "
+                         "'pnet.pt,rnet.pt,onet.pt'")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--frame_w", type=int, default=640)

@@ -37,7 +37,7 @@ class TestMicroBatcher:
                 [2 * i for i in range(10)]
             st = mb.stats()
             assert st["requests"] == 10
-            assert sum(mb.batch_sizes) == 10
+            assert st["mean_batch_size"] * st["batches"] == 10  # all served
 
     def test_coalesces_under_load(self):
         # a slow batch_fn backs the queue up; later batches must carry >1 item
@@ -84,6 +84,26 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError):
             mb.submit(1)
         mb.close()  # idempotent
+
+    def test_cancelled_future_does_not_poison_batch(self):
+        # block the worker so later submissions stay PENDING and cancellable
+        gate = threading.Event()
+
+        def fn(items):
+            gate.wait(30)
+            return items
+
+        with MicroBatcher(fn, max_batch=4, max_wait_ms=1) as mb:
+            blocker = mb.submit(0)
+            time.sleep(0.05)  # worker is now inside fn for the first batch
+            futs = [mb.submit(i) for i in (1, 2, 3)]
+            assert futs[1].cancel()  # pending → cancel succeeds
+            gate.set()
+            # the cancelled sibling must not poison the live requests
+            assert blocker.result(timeout=30) == 0
+            assert futs[0].result(timeout=30) == 1
+            assert futs[2].result(timeout=30) == 3
+            assert futs[1].cancelled()
 
 
 @pytest.fixture(scope="module")
@@ -202,6 +222,22 @@ def test_http_server(pyr_service, pyr_detector, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
         assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_body_size_cap(pyr_service):
+    server = make_http_server(pyr_service, port=0, max_body_bytes=64)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/detect",
+                                     data=b"x" * 128, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 413  # rejected before buffering
     finally:
         server.shutdown()
         server.server_close()
