@@ -68,12 +68,20 @@ class FaceBoxDetector:
     def __init__(self, variables, cfg: FaceBoxConfig = FACEBOX,
                  budget: int = 2048, out_k: int = 750, dtype=None,
                  precision: str = "highest", stem_impl: str | None = None,
-                 quant: str | None = None):
+                 quant: str | None = None, mesh=None):
         self.cfg = cfg
         self.model = FaceBox(dtype=dtype)
         # opt-in int8 post-training quantization of the model convs (the s2d
         # stem, when active, stays float — it is bandwidth-, not MXU-bound)
         self.quant = quant
+        # mesh: optional data-parallel batched inference, same contract as
+        # PyramidBoxDetector(mesh=...): params replicate, detect_batch shards
+        # over the `data` axis (batch padded to a mesh multiple), results
+        # equal the unsharded detector (batch elements are independent)
+        self.mesh = mesh
+        if mesh is not None:
+            from fdt.dist import replicated
+            variables = jax.device_put(variables, replicated(mesh))
         # stage params on device ONCE: torch-converted checkpoints arrive as
         # host numpy, and passing those to a jitted call re-uploads ~4MB per
         # step — which over this environment's slow PCIe-tunnel measured 6x
@@ -121,8 +129,17 @@ class FaceBoxDetector:
 
     def detect_batch(self, images_u8: np.ndarray):
         """[B,1024,1024,3] uint8 BGR → list of (boxes [n,4] normalized, scores [n])."""
+        b = len(images_u8)
+        if self.mesh is not None:
+            from fdt.dist import batch_sharding
+            pad = -b % self.mesh.devices.size
+            if pad:
+                images_u8 = np.concatenate(
+                    [images_u8, np.repeat(images_u8[-1:], pad, 0)])
+            images_u8 = jax.device_put(images_u8, batch_sharding(self.mesh))
         boxes, scores, count = jax.device_get(self._detect(self.variables, images_u8))
-        return [(boxes[i, :c], scores[i, :c]) for i, c in enumerate(np.asarray(count))]
+        return [(boxes[i, :c], scores[i, :c])
+                for i, c in enumerate(np.asarray(count)[:b])]
 
     def detect(self, image_bgr: np.ndarray):
         """Single image at any resolution (host cv2 resize like the reference).

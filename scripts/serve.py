@@ -20,12 +20,14 @@ def build_service(args):
     kw = dict(threshold=args.threshold, max_batch=args.max_batch,
               max_wait_ms=args.max_wait_ms,
               frame_size=(args.frame_w, args.frame_h))
+    mesh = None
+    if args.dp_devices:  # shard each coalesced batch over the mesh
+        if args.detector == "mtcnn":
+            raise SystemExit("--dp_devices is not wired for the mtcnn cascade")
+        from fdt.dist import make_mesh
+        mesh = make_mesh(args.dp_devices)
     if args.detector == "pyramid":
         from fdt.models.loader import load_pyramidbox_detector
-        mesh = None
-        if args.dp_devices:  # shard each coalesced batch over the mesh
-            from fdt.dist import make_mesh
-            mesh = make_mesh(args.dp_devices)
         det = load_pyramidbox_detector(args.net, args.weights,
                                        quant=args.quant, budget=5000,
                                        mesh=mesh)
@@ -34,7 +36,7 @@ def build_service(args):
         from fdt.models.loader import load_facebox_detector
         det = load_facebox_detector(
             args.weights or "/root/reference/FACEBOX/faceboxes.pt",
-            quant=args.quant)
+            quant=args.quant, mesh=mesh)
         return DetectionService("facebox", det, **kw)
     if args.quant:
         raise SystemExit("--quant is not supported for the mtcnn cascade")
@@ -69,8 +71,8 @@ def main():
     ap.add_argument("--quant", default=None, choices=[None, "int8"],
                     help="opt-in int8 quantized inference (pyramid/facebox)")
     ap.add_argument("--dp_devices", default=0, type=int,
-                    help="data-parallel serving (pyramid): shard each "
-                         "micro-batch over an n-device mesh")
+                    help="data-parallel serving (pyramid/facebox): shard "
+                         "each micro-batch over an n-device mesh")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip compiling all batch buckets at startup")
     args = ap.parse_args()

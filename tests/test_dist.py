@@ -147,6 +147,40 @@ def test_dp_inference_matches_unsharded(rng):
 
 
 @pytest.mark.slow
+def test_dp_facebox_inference_matches_unsharded(rng):
+    """FaceBoxDetector(mesh=...) parity with the unsharded detector,
+    including the pad-to-mesh-multiple path (batch 3 on 8 devices)."""
+    import dataclasses
+    import os
+
+    from fdt.config import FACEBOX
+    from fdt.infer.facebox import FaceBoxDetector
+    from fdt.models.facebox import FaceBox
+    from fdt.models.loader import init_template, load_variables
+
+    pt = "/root/reference/FACEBOX/faceboxes.pt"
+    size = 256  # small square input: cheap CPU compile, same code path
+    cfg = dataclasses.replace(FACEBOX, input_size=size,
+                              feature_map_sizes=(8, 4, 2))
+    model = FaceBox()
+    if os.path.exists(pt):
+        variables = load_variables(model, pt, size, strict=True)
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, size, size, 3)))
+    kw = dict(cfg=cfg, budget=512, out_k=128, stem_impl="direct")
+    det = FaceBoxDetector(variables, **kw)
+    det_dp = FaceBoxDetector(variables, mesh=make_mesh(8), **kw)
+    images = rng.randint(0, 255, (3, size, size, 3), np.uint8)
+    want = det.detect_batch(images)
+    got = det_dp.detect_batch(images)
+    assert len(got) == 3
+    for (bw, sw), (bg, sg) in zip(want, got):
+        np.testing.assert_allclose(bg, bw, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sg, sw, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_dp_train_step_on_mesh(rng):
     """One real PyramidBox train step sharded over 8 devices (tiny shapes)."""
     from fdt.models.pyramidbox_mobile import build_pyramidbox
