@@ -423,7 +423,7 @@ print(json.dumps({{"loss": loss,
                      "SPMD/cluster overhead, not speedup")}
 
 
-def measure_tracker(iters=3, frames=64, batch=16, device=False):
+def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
     """Offline tracking FPS (iouTracke_cal.py protocol, 640×480 frames).
 
     Offline means the frame axis batches: detection runs on device in
@@ -432,7 +432,10 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False):
     each frame's matches consume detections).  device=True: the association
     decisions run as one jitted lax.scan per 16-frame chunk
     (fdt.track.device_tracker, bit-parity tested vs the host tracker), the
-    host only replays the emitted assignment records.  The reference runs
+    host only replays the emitted assignment records.  fused=True: the whole
+    chunk pipeline stays on device (fdt.track.fused.FusedVideoTracker) — the
+    detection tensor is never read back and the rows are never re-uploaded,
+    so the number measures the TPU, not the tunnel RTT.  The reference runs
     detect+associate strictly per frame on GPU."""
     import jax
     import jax.numpy as jnp
@@ -449,7 +452,15 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False):
     run = det._compiled(640, 480, 0.4, 0.35)
     staged = jax.device_put(np.broadcast_to(frame, (batch, 480, 640, 3)).copy())
     np.asarray(run(det.variables, staged))  # compile
-    make_tracker = DeviceIoUTracker if device else IoUTracker
+    if fused:
+        from fdt.track.fused import FusedVideoTracker
+        # det_cap=32 = the rows[:32] cap of the host/device configs below
+        make_tracker = lambda: FusedVideoTracker(det, det_cap=32,
+                                                 threshold=0.4, nms_thresh=0.35)
+        warm = make_tracker()
+        warm.step_frames(staged)   # compile the post graph off the clock
+    else:
+        make_tracker = DeviceIoUTracker if device else IoUTracker
     if device:  # compile the association chunk outside the timed region
         warm = make_tracker()
         warm.step_chunk([np.zeros((32, 5), np.float32)] * batch)
@@ -457,6 +468,12 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False):
     n = 0
     for _ in range(iters):
         tracker = make_tracker()
+        if fused:
+            for _c in range(frames // batch):
+                tracker.step_frames(staged)
+                n += batch
+            tracker.flush()
+            continue
         for _c in range(frames // batch):
             out = np.asarray(run(det.variables, staged))
             # untrained weights pass the 0.4 floor en masse; cap to a
@@ -663,7 +680,8 @@ def main():
                     help="NMS candidate budget (5000 = reference nms_top_k)")
     ap.add_argument("--configs", default="all",
                     help="comma list of flagship,flagship_int8,facebox,mtcnn,"
-                         "try1,try3,tracker,tracker_device,try3_trained,"
+                         "try1,try3,tracker,tracker_device,tracker_fused,"
+                         "try3_trained,"
                          "train,train_bf16,train_remat,dp_scaling")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true",
@@ -682,7 +700,8 @@ def main():
             sys.exit(1)
 
     want = (list(BASELINE_FNS) + ["flagship_int8", "tracker_device",
-                                  "try3_trained", "dp_scaling"]
+                                  "tracker_fused", "try3_trained",
+                                  "dp_scaling"]
             if args.configs == "all"
             else [c.strip() for c in args.configs.split(",")])
     baselines = get_baselines(refresh=args.measure_baseline)
@@ -732,6 +751,8 @@ def main():
                 ips = measure_tracker()
             elif name == "tracker_device":
                 ips = measure_tracker(device=True)
+            elif name == "tracker_fused":
+                ips = measure_tracker(fused=True)
             elif name in ("train", "train_bf16"):
                 ips, train_mfu = measure_train(
                     dtype="bfloat16" if name == "train_bf16" else "float32")
@@ -764,7 +785,7 @@ def main():
         if name.startswith("train"):
             unit = "images/s (train step)"
         base_of = {"try3_trained": "try3", "tracker_device": "tracker",
-                   "flagship_int8": "flagship"}
+                   "tracker_fused": "tracker", "flagship_int8": "flagship"}
         entry = {"value": round(v, 2) if v else None, "unit": unit,
                  "vs_baseline": ratio(v, base_of.get(name, name))}
         if name in _SPREADS:

@@ -253,8 +253,12 @@ class DeviceIoUTracker:
             self.slots = self._grow(self.slots, self.t_max)
             self._hist = self._hist + [None] * (self.t_max - len(self._hist))
         self.slots = new_slots
-        assign, finish, spawn = (np.asarray(assign), np.asarray(finish),
-                                 np.asarray(spawn))
+        self._replay(rows_list, np.asarray(assign), np.asarray(finish),
+                     np.asarray(spawn))
+
+    def _replay(self, rows_list: Sequence[np.ndarray], assign: np.ndarray,
+                finish: np.ndarray, spawn: np.ndarray) -> None:
+        """Rebuild host-side box histories from the device records."""
         for f in range(len(rows_list)):
             self.frame_num += 1
             rows = np.asarray(rows_list[f], np.float32).reshape(-1, 5)

@@ -1,0 +1,158 @@
+"""Fully fused video tracking: detect → rows → greedy association in ONE
+jitted graph per frame chunk.
+
+`track_video` (fdt/track/iou_tracker.py) mirrors the reference driver
+(iouTracke_cal.py:87-178) in three hops per chunk: the detection tensor is
+read back to host, `detections_to_rows` converts it, and the rows are
+re-uploaded for the device association scan.  Over a slow host↔device link
+those two extra round trips (plus the [F, C, top_k, 5] readback) dominate —
+the tracker bench historically swung 122–167 fps with identical code purely
+on tunnel state.
+
+Here the whole per-chunk pipeline stays on device: the detector's OWN
+compiled executable produces the detection tensor, and a second jitted call
+fuses an on-device re-expression of `detections_to_rows` (prefix-take at the
+score floor, pixel scaling, the My_test.py:61-62 empty-frame sentinel) with
+the `_associate_chunk` lax.scan.  Both dispatches are async — the host never
+touches the [F, C, top_k, 5] tensor and blocks only on the small assignment
+records plus the kept rows, so throughput tracks the detector, not the link
+RTT.
+
+Two dispatches instead of one on purpose: reusing the detector's compiled
+executable keeps the detection tensor BIT-EQUAL to `detect_tensor` (inlining
+the forward into a larger jit lets XLA re-fuse and rounds conf scores by an
+ulp — observed, not hypothetical), and async dispatch already removes every
+host↔device synchronization between the calls.  Bit-equal tracks vs the
+unfused pipeline are pinned in
+tests/test_tracker.py::test_fused_video_tracker_matches_host.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdt.config import TRACKER, TrackerConfig
+from fdt.track.device_tracker import DeviceIoUTracker, _associate_chunk
+
+
+class FusedVideoTracker(DeviceIoUTracker):
+    """DeviceIoUTracker that also owns the detector: feed it raw frames.
+
+    Args:
+      detector: a fdt.infer.pyramidbox.PyramidBoxDetector (FaceBoxDetector
+        shares the detection-tensor contract and works too).
+      cfg: tracker thresholds (score_floor is the row-conversion threshold,
+        exactly `track_video`'s `detect_threshold`).
+      det_cap: static per-frame detection budget entering association.  The
+        host path is unbounded; rows are score-sorted by NMS, so a cap keeps
+        the TOP det_cap — equal to the host path whenever fewer than det_cap
+        rows pass the floor (and to its `rows[:det_cap]` variant always).
+        Defaults to the detector's top_k (= truly unbounded parity).
+      threshold / nms_thresh: detect-graph conf/NMS thresholds; default to
+        the detector's DetectConfig like `detect_tensor` does.
+    """
+
+    def __init__(self, detector, cfg: TrackerConfig = TRACKER,
+                 det_cap: int | None = None, threshold: float | None = None,
+                 nms_thresh: float | None = None, t_max: int = 256):
+        self.detector = detector
+        self.det_cap = int(det_cap or detector.detect_cfg.top_k)
+        self.conf_thresh = (detector.detect_cfg.conf_thresh
+                            if threshold is None else threshold)
+        self.nms_thresh = (detector.detect_cfg.nms_thresh
+                           if nms_thresh is None else nms_thresh)
+        if cfg.score_floor <= 0:
+            # detections_to_rows walks the all-zero class-0 rows when the
+            # floor is <= 0 (My_test.py quirk); the fused path slices class 1
+            # only, so refuse the configuration instead of silently diverging
+            raise ValueError("FusedVideoTracker requires score_floor > 0")
+        super().__init__(cfg, t_max=t_max, pad_n=self.det_cap)
+        self._fused: dict = {}
+
+    def _fn(self, width: int, height: int):
+        key = (width, height)
+        fn = self._fused.get(key)
+        if fn is not None:
+            return fn
+        scale = jnp.asarray([width, height, width, height], jnp.float32)
+        cap, floor, cfg = self.det_cap, self.cfg.score_floor, self.cfg
+
+        @jax.jit
+        def post(det, slots):
+            # det: [F, 2, top_k, 5] straight from the detector's executable
+            cls1 = det[:, 1, :cap, :]
+            scores = cls1[..., 0]
+            # prefix-take at the floor = detections_to_rows' cumprod walk
+            ok = jnp.cumprod((scores >= floor).astype(jnp.int32),
+                             axis=1).astype(bool)
+            boxes = cls1[..., 1:5] * scale           # f32 mul, same as host
+            # empty frame → the [[0, 0, 0, 0, 0.4]] sentinel row
+            first = jnp.arange(cap) == 0
+            none = ~ok[:, 0]
+            scores = jnp.where(none[:, None] & first, jnp.float32(0.4), scores)
+            boxes = jnp.where((none[:, None] & first)[..., None], 0.0, boxes)
+            valid = ok | (none[:, None] & first)
+            slots, recs = _associate_chunk(
+                slots, boxes, scores, valid, cfg.sigma_iou, cfg.sigma_dis,
+                cfg.sigma_h, cfg.t_min, cfg.use_iou)
+            rows = jnp.concatenate([boxes, scores[..., None]], axis=-1)
+            return slots, recs, rows, valid.sum(axis=1)
+
+        self._fused[key] = post
+        return post
+
+    def step_frames(self, frames_u8: np.ndarray) -> None:
+        """Advance F frames from a [F, H, W, 3] uint8 BGR chunk."""
+        f, h, w, _ = frames_u8.shape
+        cfg = self.cfg
+        run = self.detector._compiled(w, h, self.conf_thresh, self.nms_thresh)
+        det = run(self.detector.variables, frames_u8)   # async, stays on device
+        slots, (assign, finish, spawn, overflow), rows, count = self._fn(w, h)(
+            det, self.slots)
+        while int(np.asarray(overflow).sum()):
+            # slots exhausted mid-chunk: grow and redo the association only —
+            # the detection rows are already on device, no re-detect
+            self.t_max *= 2
+            self.slots = self._grow(self.slots, self.t_max)
+            self._hist = self._hist + [None] * (self.t_max - len(self._hist))
+            valid = jnp.arange(rows.shape[1]) < count[:, None]
+            slots, (assign, finish, spawn, overflow) = _associate_chunk(
+                self.slots, rows[..., :4], rows[..., 4], valid,
+                cfg.sigma_iou, cfg.sigma_dis, cfg.sigma_h, cfg.t_min,
+                cfg.use_iou)
+        self.slots = slots
+        rows, count = np.asarray(rows), np.asarray(count)
+        rows_list: List[np.ndarray] = [rows[i, :count[i]] for i in range(f)]
+        self._replay(rows_list, np.asarray(assign), np.asarray(finish),
+                     np.asarray(spawn))
+
+
+def track_video_fused(video_path: str, detector, cfg: TrackerConfig = TRACKER,
+                      batch_size: int = 8, frame_size=(640, 480),
+                      det_cap: int | None = None) -> List[dict]:
+    """`track_video` with the fused single-call-per-chunk pipeline."""
+    import cv2
+
+    tracker = FusedVideoTracker(detector, cfg, det_cap=det_cap)
+    cap = cv2.VideoCapture(video_path)
+    w, h = frame_size
+    batch: List[np.ndarray] = []
+
+    def run_batch():
+        if batch:
+            tracker.step_frames(np.stack(batch))
+            batch.clear()
+
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        batch.append(cv2.resize(frame, frame_size))
+        if len(batch) == batch_size:
+            run_batch()
+    run_batch()
+    cap.release()
+    return tracker.flush()

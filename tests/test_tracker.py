@@ -192,3 +192,59 @@ def test_device_tracker_flush_resets_device_state():
     assert len(second) == 2          # finished list accumulates (reference)
     assert len(second[1]["bboxes"]) == 2
     assert second[1]["start_frame"] == 4
+
+
+@pytest.mark.slow
+def test_fused_video_tracker_matches_host():
+    """FusedVideoTracker (fdt/track/fused.py) must reproduce the unfused
+    track_video pipeline bit-for-bit AT MATCHING CHUNK SHAPES: the detection
+    executable is batch-shape-specific (conv reductions round differently per
+    batch size — measured 1-ulp conf drift between batch 3 and batch 6), so
+    parity is defined against a host path detecting in the same chunks, just
+    like two track_video runs with different batch_size differ by ulps."""
+    import jax
+    import jax.numpy as jnp
+    from fdt.infer.pyramidbox import PyramidBoxDetector, detections_to_rows
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    from fdt.track import FusedVideoTracker
+
+    model = build_pyramidbox("try3")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    detector = PyramidBoxDetector(variables, model, "try3", budget=1024)
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    frames = np.stack([np.roll(base, 3 * f, axis=1) for f in range(6)])
+
+    # pick a floor that keeps a moderate, realistic det count per frame so
+    # the association sees extend/finish/spawn traffic without slot growth;
+    # detect in the same 3-frame chunks the fused tracker will use
+    det_t = np.concatenate([detector.detect_tensor(frames[:3]),
+                            detector.detect_tensor(frames[3:])])
+    floor = float(np.sort(det_t[0, 1, :, 0])[-16])
+    assert floor > 0
+    cfg = TrackerConfig(score_floor=floor, t_min=2)
+
+    rows_list = [detections_to_rows(det_t[i], floor, [128, 128, 128, 128])
+                 for i in range(6)]
+    want = track_detections(rows_list, cfg)
+    assert want, "fixture must finish at least one track"
+
+    fused = FusedVideoTracker(detector, cfg)
+    fused.step_frames(frames[:3])     # two chunks: slot state must carry over
+    fused.step_frames(frames[3:])
+    got = fused.flush()
+
+    assert got == want                # bit-equal: IDs, histories, scores
+
+    # empty-frame sentinel path: a floor above every score must reproduce the
+    # host [[0,0,0,0,0.4]] sentinel rows (My_test.py:61-62) through the
+    # fused conversion too
+    hi = float(det_t[:, 1, :, 0].max()) + 0.1
+    cfg2 = TrackerConfig(score_floor=hi, t_min=1, sigma_h=0.3)
+    rows2 = [detections_to_rows(det_t[i], hi, [128, 128, 128, 128])
+             for i in range(6)]
+    want2 = track_detections(rows2, cfg2)
+    fused2 = FusedVideoTracker(detector, cfg2)
+    fused2.step_frames(frames)
+    assert fused2.flush() == want2
