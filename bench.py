@@ -1,30 +1,53 @@
-"""Benchmark: framework throughput vs the CPU reference, all BASELINE configs.
+"""Benchmark: framework throughput vs the CPU reference, BASELINE configs.
 
 Prints ONE JSON line whose primary metric is the flagship detector
 (PyramidBox-ResNet50 640² full detect, NMS budget 5000 = the reference's
 nms_top_k, layers/functions/detection.py:32), with `mfu` (model FLOP/s ÷ chip
 peak from the compiled graph's cost analysis) and an `extras` dict carrying
-the remaining BASELINE.md configs:
+the remaining BASELINE.md configs.
 
+Default config set (chosen to land WELL inside the driver's capture window —
+round 3's `--configs all` default timed out the capture and shipped no
+number, VERDICT r3 item 1):
+
+  flagship  — PyramidBox-ResNet50 640² detect, batch 64, trained mini-set
+              weights when net_weight/repo_mini.npz exists (real score
+              distribution; random init otherwise)
   facebox   — FaceBoxes 1024² detect (pretrained faceboxes.pt weights)
-  mtcnn     — device-side 3-stage cascade, 640×480 frames (pretrained weights)
-  try1/try3 — PyramidBox-Mobile 640² detect
-  tracker   — PyramidBox 640×480 detect + IoU-tracker association per frame
+  mtcnn     — device-side 3-stage cascade, 640×480 frames (pretrained
+              weights), fast-tier budgets with saturation fallback
+  try3      — PyramidBox-Mobile 640² detect
+  try3_trained — try3 with mini-set trained weights (when the npz exists)
+  tracker   — fused detect+associate pipeline (fdt.track.fused), trained
+              weights when available — the shipping tracking path
+
+Opt-in configs (--configs): flagship_int8, flagship128, try1, variants
+(try1/2/4/5 smoke), tracker_host, tracker_device, train, train_bf16,
+train_remat, dp_scaling.
+
+A global --deadline-seconds (default 780) bounds the WHOLE run: measurements
+run on a worker thread, and when the deadline hits, whatever has finished is
+printed as the JSON line with the remaining configs reported as skipped —
+the artifact always lands, partial beats absent.
 
 `vs_baseline` values are throughput ratios against the PyTorch reference
 running the SAME config on this host's CPU (the only hardware the reference
 can use here; it publishes no numbers of its own — BASELINE.md).  Baselines
-are measured once and cached in .bench_cache.json.
+are measured once and cached in .bench_cache.json (committed, so a driver
+run never re-measures them; refresh with --measure-baseline).
 
 Timing protocol: inputs staged with device_put, outputs reduced to an
 in-graph scalar checksum, one blocking readback at the end — this environment
 reaches the TPU through a slow tunnel (~25MB/s), so per-iteration host fetches
-would measure the tunnel, not the chip.
+would measure the tunnel, not the chip.  Each config AOT-compiles ONE
+executable (lower().compile()) reused for validation, timing, and the
+cost-analysis MFU — never a second compile of the same graph.
 """
 import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -45,6 +68,10 @@ FACEBOX_PT = "/root/reference/FACEBOX/faceboxes.pt"
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
               "TPU v6 lite": 918e12, "TPU v6e": 918e12}
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+TRY3_TRAINED = os.path.join(HERE, "net_weight", "try3_mini.npz")
+REPO_TRAINED = os.path.join(HERE, "net_weight", "repo_mini.npz")
+
 
 def _sample_frame(h, w):
     """A real image (realistic score distribution for NMS) resized to h×w."""
@@ -59,30 +86,30 @@ _SPREADS = {}  # config name → percent spread across timing repeats
 
 
 def _time_checksum(fn, args, iters, reps=3, record=None):
-    """Wall timing of a jitted scalar-returning fn: `reps` repeats of an
+    """Wall timing of a (compiled) checksum-returning fn: `reps` repeats of an
     `iters`-call block, reporting the BEST block (and recording the
     max/min spread so a drifting host/tunnel can't silently masquerade as a
     perf regression — VERDICT r2 item 3)."""
     import jax
     r = fn(*args)
     jax.block_until_ready(r)
-    float(np.asarray(r))  # settle the tunnel
+    np.asarray(r).sum()  # settle the tunnel
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn(*args)
         jax.block_until_ready(r)
-        float(np.asarray(r))
+        np.asarray(r).sum()
         times.append(time.perf_counter() - t0)
     if record:
         _SPREADS[record] = round((max(times) / min(times) - 1) * 100, 1)
     return min(times)
 
 
-def _cost_flops(lowered_compiled):
+def _cost_flops(compiled):
     try:
-        ca = lowered_compiled.cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None
@@ -90,8 +117,12 @@ def _cost_flops(lowered_compiled):
         return None
 
 
-TRY3_TRAINED = os.path.join(os.path.dirname(__file__), "net_weight",
-                            "try3_mini.npz")
+def _mfu(flops, iters, dt_s):
+    import jax
+    if not flops:
+        return None
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    return (flops * iters / dt_s) / peak if peak else None
 
 
 def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
@@ -115,24 +146,18 @@ def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
     images = np.broadcast_to(_sample_frame(size, size), (batch, size, size, 3)).copy()
     run = det._compiled(size, size, 0.35, 0.35)
 
-    @jax.jit
     def run_summed(variables, images):
+        # a finite checksum ⇔ every detection row finite (NaN/Inf propagate)
         return jnp.sum(run(variables, images)).astype(jnp.float32)
 
     images = jax.device_put(images)
-    full = jax.device_get(run(det.variables, images))    # compile + validate
-    assert np.isfinite(full).all()
-    dt_s = _time_checksum(run_summed, (det.variables, images), iters,
+    compiled = jax.jit(run_summed).lower(det.variables, images).compile()
+    r0 = float(np.asarray(compiled(det.variables, images)))
+    assert np.isfinite(r0), f"{variant} checksum not finite: {r0}"
+    dt_s = _time_checksum(compiled, (det.variables, images), iters,
                           record=record or variant)
     ips = batch * iters / dt_s
-    mfu = None
-    if want_mfu:
-        flops = _cost_flops(run_summed.lower(det.variables, images).compile())
-        if flops:
-            kind = jax.devices()[0].device_kind
-            peak = PEAK_FLOPS.get(kind)
-            if peak:
-                mfu = (flops * iters / dt_s) / peak
+    mfu = _mfu(_cost_flops(compiled), iters, dt_s) if want_mfu else None
     return ips, mfu
 
 
@@ -158,44 +183,50 @@ def measure_facebox(batch=16, iters=20):
     s = det.cfg.input_size
     images = np.broadcast_to(_sample_frame(s, s), (batch, s, s, 3)).copy()
 
-    @jax.jit
     def run_summed(variables, images):
         boxes, scores, count = det._detect_impl(variables, images)
         return (jnp.sum(boxes) + jnp.sum(scores) + jnp.sum(count)).astype(jnp.float32)
 
     images = jax.device_put(images)
-    dt_s = _time_checksum(run_summed, (det.variables, images), iters,
+    compiled = jax.jit(run_summed).lower(det.variables, images).compile()
+    dt_s = _time_checksum(compiled, (det.variables, images), iters,
                           record="facebox")
     return batch * iters / dt_s
 
 
 def measure_mtcnn(batch=8, iters=10, h=480, w=640):
+    """Device cascade with the two-tier budget mechanism: time the FAST tier
+    (512/128 RNet/ONet sweeps) when the sample frames don't saturate it, else
+    the full-budget tier — exactly what detect_batch(fast_budgets=...) runs
+    in production (unsaturated scenes are keep-set-identical across tiers;
+    tests/test_mtcnn_device.py pins both polarities)."""
     import jax
     import jax.numpy as jnp
-    from fdt.infer.mtcnn_device import load_device_cascade
+    from fdt.infer.mtcnn_device import FAST_BUDGETS, load_device_cascade
 
     if not os.path.exists(MTCNN_P):
         return None
     dev = load_device_cascade(MTCNN_P, MTCNN_P.replace("pnet", "rnet"),
-                              MTCNN_P.replace("pnet", "onet"))
+                              MTCNN_P.replace("pnet", "onet"),
+                              fast_budgets=FAST_BUDGETS)
     frame = _sample_frame(h, w)
-    imgs = np.broadcast_to(frame, (batch, h, w, 3)).copy()
-    # sanity: the cascade finds faces on the sample frame
-    boxes, _ = dev.detect_face(frame)
-    from fdt.infer.mtcnn_device import build_plan
-    plan = build_plan(h, w, dev.cfg.min_face_size, dev.cfg.scale_factor,
-                      dev.cfg.cell_size, dev.cfg.stride, None)
-    import functools
-    cascade = jax.vmap(functools.partial(dev._cascade, plan), in_axes=(None, 0))
+    imgs = jax.device_put(np.broadcast_to(frame, (batch, h, w, 3)).copy())
+    for tier in ("fast", "full"):
+        cascade = dev._compiled_batch(batch, h, w, tier)
 
-    @jax.jit
-    def run_summed(variables, images):
-        b, lm, cnt, _sat = cascade(variables, images)
-        return (jnp.sum(jnp.where(jnp.isfinite(b), b, 0.0))
-                + jnp.sum(cnt)).astype(jnp.float32)
+        def run_summed(variables, images):
+            b, lm, cnt, sat = cascade(variables, images)
+            return jnp.stack(
+                [jnp.sum(jnp.where(jnp.isfinite(b), b, 0.0)) + jnp.sum(cnt),
+                 jnp.any(sat).astype(jnp.float32)])
 
-    imgs = jax.device_put(imgs)
-    dt_s = _time_checksum(run_summed, (dev.vars, imgs), iters, record="mtcnn")
+        compiled = jax.jit(run_summed).lower(dev.vars, imgs).compile()
+        r0 = np.asarray(compiled(dev.vars, imgs))
+        assert np.isfinite(r0[0]), f"mtcnn checksum not finite: {r0}"
+        if r0[1] == 0:  # unsaturated: fast tier == full tier == reference
+            break
+    _SPREADS["mtcnn_tier"] = tier
+    dt_s = _time_checksum(compiled, (dev.vars, imgs), iters, record="mtcnn")
     return batch * iters / dt_s
 
 
@@ -204,7 +235,10 @@ def measure_train(batch=8, iters=10, size=640, dtype="float32"):
     loss).  Opt-in (--configs train / train_bf16): the 640² fwd+bwd compile
     takes ~10min through this environment's remote compile helper, too slow
     for the default bench line.  dtype="bfloat16" = mixed precision (bf16
-    compute, f32 params/loss — the scripts/train_pyramid.py --bf16 path)."""
+    compute, f32 params/loss — the scripts/train_pyramid.py --bf16 path).
+    MFU comes from the COMPILED executable's cost analysis (the same AOT
+    executable that is timed), so it is methodologically identical to the
+    flagship MFU (VERDICT r3 item 5)."""
     import jax
     import jax.numpy as jnp
     from fdt.models.pyramidbox import PyramidBox
@@ -221,31 +255,19 @@ def measure_train(batch=8, iters=10, size=640, dtype="float32"):
     targets = [np.array([[0.1, 0.1, 0.4, 0.4, 0], [0.5, 0.5, 0.9, 0.9, 0]],
                         np.float32)] * batch
     gt = jax.device_put(pad_targets(targets, max_gt=8))
-    # FLOPs from the UNCOMPILED lowering (compiling again just for
-    # cost_analysis would repeat the ~10min 640² fwd+bwd compile; lowered
-    # analysis counts the same matmul/conv FLOPs, it only misses fusion —
-    # fine for an MFU estimate)
-    flops = None
-    try:
-        ca = trainer.train_step.lower(state, images, *gt, 1e-4).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+    # ONE AOT executable for stepping AND cost analysis (a second jit call
+    # would recompile the same ~10min graph; the pre-r4 lowering-based FLOPs
+    # overcounted vs the compiled graph)
+    compiled = trainer.train_step.lower(state, images, *gt, 1e-4).compile()
+    flops = _cost_flops(compiled)
+    state, metrics = compiled(state, images, *gt, 1e-4)
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = trainer.train_step(state, images, *gt, 1e-4)
+        state, metrics = compiled(state, images, *gt, 1e-4)
     jax.block_until_ready(metrics["loss"])
     dt_s = time.perf_counter() - t0
-    mfu = None
-    if flops:
-        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
-        if peak:
-            mfu = (flops * iters / dt_s) / peak
-    return batch * iters / dt_s, mfu
+    return batch * iters / dt_s, _mfu(flops, iters, dt_s)
 
 
 def measure_remat(batch=8, iters=10, size=640):
@@ -259,7 +281,6 @@ def measure_remat(batch=8, iters=10, size=640):
         the scripts/train_pyramid.py --remat path): only block-boundary
         activations stay live."""
     import jax
-    import jax.numpy as jnp
     from fdt.models.pyramidbox import PyramidBox
     from fdt.train import PyramidTrainer, pad_targets
 
@@ -311,12 +332,15 @@ def measure_dp_scaling(size=128, iters=5):
     (the bench process owns the TPU backend; the mesh checks must be hermetic
     to it, like dryrun_multichip).
 
+    Opt-in (--configs dp_scaling): its loss-parity assertions duplicate
+    tests/test_dist.py + tests/test_multihost.py and its wall-clock numbers
+    measure SPMD overhead on a 1-core host, not speedup — a correctness
+    artifact, not a perf number (VERDICT r3 weak item 5).
+
     Returns {n1_ms, n8_ms, loss_rel_diff, proc2x4_ms, loss_rel_diff_2proc,
     sp4x2_ms, loss_rel_diff_sp4x2, note}.  Every run uses the same GLOBAL
     batch (8) and data, so the losses must agree to float tolerance — that is
-    the correctness half.  The wall-clock ratios are reported but this host
-    has ONE physical core under the virtual devices, so they measure
-    SPMD/cluster overhead, not parallel speedup."""
+    the correctness half."""
     import subprocess
 
     # same helpers as tests/test_multihost.py — ONE tested configuration of
@@ -423,7 +447,8 @@ print(json.dumps({{"loss": loss,
                      "SPMD/cluster overhead, not speedup")}
 
 
-def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
+def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
+                    weights=None):
     """Offline tracking FPS (iouTracke_cal.py protocol, 640×480 frames).
 
     Offline means the frame axis batches: detection runs on device in
@@ -436,7 +461,10 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
     chunk pipeline stays on device (fdt.track.fused.FusedVideoTracker) — the
     detection tensor is never read back and the rows are never re-uploaded,
     so the number measures the TPU, not the tunnel RTT.  The reference runs
-    detect+associate strictly per frame on GPU."""
+    detect+associate strictly per frame on GPU.
+
+    weights: trained variables npz for the repo variant (real score
+    distribution / scene density); random init otherwise."""
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector, detections_to_rows
@@ -445,7 +473,11 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
     from fdt.track.iou_tracker import IoUTracker
 
     model = build_pyramidbox("repo", dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3)))
+    if weights:
+        from fdt.models.loader import load_variables
+        variables = load_variables(model, weights, 640)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3)))
     det = PyramidBoxDetector(variables, model, "repo", budget=5000,
                              precision="default")
     frame = _sample_frame(480, 640)
@@ -454,13 +486,25 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
     np.asarray(run(det.variables, staged))  # compile
     if fused:
         from fdt.track.fused import FusedVideoTracker
-        # det_cap=32 = the rows[:32] cap of the host/device configs below
-        make_tracker = lambda: FusedVideoTracker(det, det_cap=32,
-                                                 threshold=0.4, nms_thresh=0.35)
-        warm = make_tracker()
-        warm.step_frames(staged)   # compile the post graph off the clock
-    else:
-        make_tracker = DeviceIoUTracker if device else IoUTracker
+        # det_cap=32 = the rows[:32] cap of the host/device configs below.
+        # ONE tracker reused across timed iterations (flush() resets device
+        # and host state), so the fused post graph compiles exactly once, off
+        # the clock — a fresh tracker per iteration would recompile its
+        # per-instance jit every iteration and time the COMPILER
+        # (ADVICE r3 medium finding).
+        tracker = FusedVideoTracker(det, det_cap=32,
+                                    threshold=0.4, nms_thresh=0.35)
+        tracker.step_frames(staged)   # compile the post graph off the clock
+        tracker.flush()
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(iters):
+            for _c in range(frames // batch):
+                tracker.step_frames(staged)
+                n += batch
+            tracker.flush()
+        return n / (time.perf_counter() - t0)
+    make_tracker = DeviceIoUTracker if device else IoUTracker
     if device:  # compile the association chunk outside the timed region
         warm = make_tracker()
         warm.step_chunk([np.zeros((32, 5), np.float32)] * batch)
@@ -468,21 +512,14 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
     n = 0
     for _ in range(iters):
         tracker = make_tracker()
-        if fused:
-            for _c in range(frames // batch):
-                tracker.step_frames(staged)
-                n += batch
-            tracker.flush()
-            continue
         for _c in range(frames // batch):
             out = np.asarray(run(det.variables, staged))
-            # untrained weights pass the 0.4 floor en masse; cap to a
-            # realistic tracking-scene density so the association cost
-            # reflects real scenes, not the random-init artifact.  Measured
-            # with TRAINED try3 weights on the 12-face crowd scene: 17-18
-            # detections/frame at the 0.4 floor
-            # (tests/test_trained_weights.py) — the 32 cap is above
-            # real-scene density, not below it.
+            # cap rows to a realistic tracking-scene density so the
+            # association cost reflects real scenes (untrained weights pass
+            # the 0.4 floor en masse).  Measured with TRAINED try3 weights on
+            # the 12-face crowd scene: 17-18 detections/frame at the 0.4
+            # floor (tests/test_trained_weights.py) — the 32 cap is above
+            # real-scene density, not below it
             rows_chunk = [detections_to_rows(out[f], 0.4, [640, 480, 640, 480])[:32]
                           for f in range(batch)]
             if device:
@@ -492,6 +529,18 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False):
                     tracker.step(rows)
             n += batch
     return n / (time.perf_counter() - t0)
+
+
+def measure_variants(batch=8, iters=3):
+    """Liveness smoke for the four non-default mobile variants (VERDICT r3
+    item 6): forward-detect throughput at batch 8, random init — enough to
+    catch a variant that stops tracing/compiling or collapses in speed."""
+    out = {}
+    for v in ("try1", "try2", "try4", "try5"):
+        ips, _ = measure_pyramidbox(batch, iters, "bfloat16", 2048, v,
+                                    record=f"variant_{v}")
+        out[v] = round(ips, 2)
+    return out
 
 
 # ---------------- reference CPU baselines ---------------------------------------
@@ -617,7 +666,7 @@ BASELINE_FNS = {
 }
 
 
-def get_baselines(refresh=False):
+def get_baselines(refresh=False, cached_only=False):
     cache = {}
     if os.path.exists(CACHE):
         try:
@@ -626,6 +675,8 @@ def get_baselines(refresh=False):
             cache = {}
     if "reference_cpu_images_per_sec" in cache:  # round-1 cache layout
         cache.setdefault("flagship", cache.pop("reference_cpu_images_per_sec"))
+    if cached_only:
+        return cache
     changed = False
     for name, fn in BASELINE_FNS.items():
         if refresh or cache.get(name) is None:
@@ -666,27 +717,143 @@ def _probe_device(timeout=300):
     return None
 
 
+# Configs the bare `python bench.py` invocation runs — sized to land well
+# inside the driver's capture window (~6 TPU compiles + timing ≈ 6-9 min;
+# the deadline guard bounds the worst case).  Everything else is opt-in.
+DEFAULT_CONFIGS = ["flagship", "facebox", "mtcnn", "try3", "try3_trained",
+                   "tracker"]
+OPTIN_CONFIGS = ["flagship_int8", "flagship128", "try1", "variants",
+                 "tracker_host", "tracker_device", "train", "train_bf16",
+                 "train_remat", "dp_scaling"]
+
+
+def _run_configs(args, want, state):
+    """Worker-thread body: baselines (cached: instant), then each config in
+    order, recording results incrementally so a deadline cut still reports
+    everything finished so far."""
+    state["baselines"] = get_baselines(refresh=args.measure_baseline)
+    results = state["results"]
+    flagship_weights = REPO_TRAINED if os.path.exists(REPO_TRAINED) else None
+    state["flagship_weights"] = ("repo_mini" if flagship_weights
+                                 else "random_init")
+    for name in want:
+        state["current"] = name
+        t_c = time.monotonic()
+        try:
+            if name == "flagship":
+                ips, mfu = measure_pyramidbox(args.flagship_batch, args.iters,
+                                              args.dtype, args.budget, "repo",
+                                              want_mfu=True, record="flagship",
+                                              weights=flagship_weights)
+                state["mfu"] = mfu
+            elif name == "flagship128":
+                # batch-128 flagship (amortizes the decode/NMS tail further:
+                # 407 vs 388 img/s measured on v5e) — opt-in so the default
+                # line never pays the second big compile
+                ips, mfu = measure_pyramidbox(128, args.iters, args.dtype,
+                                              args.budget, "repo",
+                                              want_mfu=True, record="flagship128",
+                                              weights=flagship_weights)
+                _SPREADS["flagship128_mfu"] = round(mfu, 4) if mfu else None
+            elif name == "flagship_int8":
+                # opt-in post-training int8 path (fdt.ops.quant): int8×int8→
+                # int32 on the MXU at 2× the bf16 rate; accuracy drift pinned
+                # in tests/test_quant.py.  Compared against the same torch-CPU
+                # flagship baseline.
+                ips, _ = measure_pyramidbox(args.flagship_batch, args.iters,
+                                            args.dtype, args.budget, "repo",
+                                            record="flagship_int8",
+                                            weights=flagship_weights,
+                                            quant="int8")
+            elif name in ("try1", "try3"):
+                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
+                                            args.budget, name)
+            elif name == "try3_trained":
+                # same config as try3 but with the mini-dataset trained
+                # weights: the decode/NMS cost runs on a REAL score
+                # distribution instead of random-init noise.  Compared against
+                # the same torch-CPU try3 baseline (which itself runs seeded
+                # random weights — the reference ships no trained try3 either).
+                if not os.path.exists(TRY3_TRAINED):
+                    continue
+                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
+                                            args.budget, "try3",
+                                            record="try3_trained",
+                                            weights=TRY3_TRAINED)
+            elif name == "facebox":
+                ips = measure_facebox()
+            elif name == "mtcnn":
+                ips = measure_mtcnn()
+            elif name == "tracker":
+                # the shipping tracking path: fused detect+associate, trained
+                # weights when available (VERDICT r3 item 7)
+                ips = measure_tracker(fused=True, weights=flagship_weights)
+            elif name == "tracker_host":
+                ips = measure_tracker()
+            elif name == "tracker_device":
+                ips = measure_tracker(device=True)
+            elif name in ("train", "train_bf16"):
+                ips, train_mfu = measure_train(
+                    dtype="bfloat16" if name == "train_bf16" else "float32")
+                if train_mfu:
+                    _SPREADS[name + "_mfu"] = round(train_mfu, 4)
+            elif name == "dp_scaling":
+                results[name] = measure_dp_scaling()
+                state["secs"][name] = round(time.monotonic() - t_c, 1)
+                continue
+            elif name == "train_remat":
+                results[name] = measure_remat()
+                state["secs"][name] = round(time.monotonic() - t_c, 1)
+                continue
+            elif name == "variants":
+                results[name] = measure_variants()
+                state["secs"][name] = round(time.monotonic() - t_c, 1)
+                continue
+            else:
+                continue
+            results[name] = ips
+        except Exception as e:  # pragma: no cover
+            print(f"# config {name} failed: {e}", file=sys.stderr)
+            results[name] = None
+        state["secs"][name] = round(time.monotonic() - t_c, 1)
+    state["current"] = None
+    state["finished"] = True
+
+
 def main():
+    t_start = time.monotonic()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    # 128 measured best on v5e: 407 img/s MFU 0.61 vs 388/0.58 at 64 —
-    # the bigger batch amortizes the decode/NMS tail further
-    ap.add_argument("--flagship-batch", type=int, default=128,
-                    help="flagship detect batch (64 amortizes the "
-                         "decode/NMS tail best on v5e: 388 vs 378 img/s)")
+    ap.add_argument("--flagship-batch", type=int, default=64,
+                    help="flagship detect batch.  64 default: best captured-"
+                         "artifact tradeoff (one compile, 388 img/s on v5e); "
+                         "batch 128 measures ~5%% higher but pays a second "
+                         "big compile — run `--configs flagship128` for it")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--budget", type=int, default=5000,
                     help="NMS candidate budget (5000 = reference nms_top_k)")
-    ap.add_argument("--configs", default="all",
-                    help="comma list of flagship,flagship_int8,facebox,mtcnn,"
-                         "try1,try3,tracker,tracker_device,tracker_fused,"
-                         "try3_trained,"
-                         "train,train_bf16,train_remat,dp_scaling")
+    ap.add_argument("--configs", default="default",
+                    help="comma list, or 'default' (%s) or 'all' (default + "
+                         "opt-ins: %s)" % (",".join(DEFAULT_CONFIGS),
+                                           ",".join(OPTIN_CONFIGS)))
+    ap.add_argument("--deadline-seconds", type=float, default=780,
+                    help="global wall-clock budget: when it expires, the JSON "
+                         "line prints with whatever finished (remaining "
+                         "configs reported as skipped) — the driver's capture "
+                         "window must never time out waiting for us")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the wedged-tunnel device probe")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="pin the jax backend (smoke runs hermetic to the "
+                         "TPU tunnel; implies --no-probe)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        args.no_probe = True
 
     if not args.no_probe:
         err = _probe_device()
@@ -699,100 +866,66 @@ def main():
                 "error": err}))
             sys.exit(1)
 
-    want = (list(BASELINE_FNS) + ["flagship_int8", "tracker_device",
-                                  "tracker_fused", "try3_trained",
-                                  "dp_scaling"]
-            if args.configs == "all"
-            else [c.strip() for c in args.configs.split(",")])
-    baselines = get_baselines(refresh=args.measure_baseline)
+    if args.configs == "default":
+        want = list(DEFAULT_CONFIGS)
+    elif args.configs == "all":
+        want = DEFAULT_CONFIGS + OPTIN_CONFIGS
+    else:
+        want = [c.strip() for c in args.configs.split(",")]
+
+    state = {"results": {}, "secs": {}, "current": None, "finished": False}
+    worker = threading.Thread(target=_run_configs, args=(args, want, state),
+                              daemon=True)
+    worker.start()
+    worker.join(max(args.deadline_seconds - (time.monotonic() - t_start), 5.0))
+    deadline_hit = not state["finished"]
+    if deadline_hit:
+        print(f"# deadline {args.deadline_seconds}s hit during config "
+              f"{state['current']}; reporting what finished", file=sys.stderr)
+
+    baselines = state.get("baselines") or get_baselines(cached_only=True)
+    results = state["results"]
 
     def ratio(v, name):
         b = baselines.get(name)
         return round(v / b, 2) if (v and b) else None
 
-    results = {}
-    mfu = None
-    for name in want:
-        try:
-            if name == "flagship":
-                ips, mfu = measure_pyramidbox(args.flagship_batch, args.iters,
-                                              args.dtype, args.budget, "repo",
-                                              want_mfu=True, record="flagship")
-            elif name == "flagship_int8":
-                # opt-in post-training int8 path (fdt.ops.quant): int8×int8→
-                # int32 on the MXU at 2× the bf16 rate; accuracy drift pinned
-                # in tests/test_quant.py.  Compared against the same torch-CPU
-                # flagship baseline.
-                ips, _ = measure_pyramidbox(args.flagship_batch, args.iters,
-                                            args.dtype, args.budget, "repo",
-                                            record="flagship_int8",
-                                            quant="int8")
-            elif name in ("try1", "try3"):
-                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
-                                            args.budget, name)
-            elif name == "try3_trained":
-                # same config as try3 but with the mini-dataset trained
-                # weights: the decode/NMS cost runs on a REAL score
-                # distribution instead of random-init noise (the random-init
-                # caveat from round 2).  Compared against the same torch-CPU
-                # try3 baseline (which itself runs seeded random weights —
-                # the reference ships no trained try3 checkpoint either).
-                if not os.path.exists(TRY3_TRAINED):
-                    continue
-                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
-                                            args.budget, "try3",
-                                            record="try3_trained",
-                                            weights=TRY3_TRAINED)
-            elif name == "facebox":
-                ips = measure_facebox()
-            elif name == "mtcnn":
-                ips = measure_mtcnn()
-            elif name == "tracker":
-                ips = measure_tracker()
-            elif name == "tracker_device":
-                ips = measure_tracker(device=True)
-            elif name == "tracker_fused":
-                ips = measure_tracker(fused=True)
-            elif name in ("train", "train_bf16"):
-                ips, train_mfu = measure_train(
-                    dtype="bfloat16" if name == "train_bf16" else "float32")
-                if train_mfu:
-                    _SPREADS[name + "_mfu"] = round(train_mfu, 4)
-            elif name == "dp_scaling":
-                results[name] = measure_dp_scaling()
-                continue
-            elif name == "train_remat":
-                results[name] = measure_remat()
-                continue
-            else:
-                continue
-            results[name] = ips
-        except Exception as e:  # pragma: no cover
-            print(f"# config {name} failed: {e}", file=sys.stderr)
-            results[name] = None
-
     flagship = results.get("flagship")
     extras = {}
+    base_of = {"try3_trained": "try3", "tracker_host": "tracker",
+               "tracker_device": "tracker", "flagship_int8": "flagship",
+               "flagship128": "flagship"}
     for name in want:
         if name == "flagship" or (name == "try3_trained"
                                   and name not in results):
             continue
+        if name not in results:
+            extras[name] = {"skipped": ("in flight at deadline"
+                                        if state["current"] == name
+                                        else "deadline")}
+            continue
         v = results.get(name)
-        if name in ("dp_scaling", "train_remat"):
+        if name in ("dp_scaling", "train_remat", "variants"):
             extras[name] = v  # dict artifact, not a throughput
             continue
         unit = "frames/s" if name.startswith("tracker") else "images/s"
         if name.startswith("train"):
             unit = "images/s (train step)"
-        base_of = {"try3_trained": "try3", "tracker_device": "tracker",
-                   "tracker_fused": "tracker", "flagship_int8": "flagship"}
         entry = {"value": round(v, 2) if v else None, "unit": unit,
                  "vs_baseline": ratio(v, base_of.get(name, name))}
         if name in _SPREADS:
             entry["spread_pct"] = _SPREADS[name]
         if name + "_mfu" in _SPREADS:
             entry["mfu"] = _SPREADS[name + "_mfu"]
+        if name == "mtcnn" and "mtcnn_tier" in _SPREADS:
+            entry["budget_tier"] = _SPREADS["mtcnn_tier"]
+        if name == "tracker":
+            entry["path"] = "fused"
+            entry["weights"] = state.get("flagship_weights")
+        if name in state["secs"]:
+            entry["secs"] = state["secs"][name]
         extras[name] = entry
+    mfu = state.get("mfu")
     out = {
         "metric": "pyramidbox_res50_640_detect_images_per_sec_per_chip",
         "value": round(flagship, 2) if flagship else None,
@@ -800,11 +933,18 @@ def main():
         "vs_baseline": ratio(flagship, "flagship"),
         "nms_budget": args.budget,
         "batch": args.flagship_batch,
+        "weights": state.get("flagship_weights"),
         "mfu": round(mfu, 4) if mfu else None,
         "spread_pct": _SPREADS.get("flagship"),
+        "deadline_hit": deadline_hit,
         "extras": extras,
     }
     print(json.dumps(out))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # the worker thread may still be blocked inside a device call after a
+    # deadline cut — never wait on it (that is the exact hang this guards)
+    os._exit(0 if ("flagship" not in want or flagship) else 1)
 
 
 if __name__ == "__main__":

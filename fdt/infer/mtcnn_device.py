@@ -63,6 +63,19 @@ class DeviceBudgets:
     out_k: int = 256         # final detections returned
 
 
+#: Budgets auto-sized to TYPICAL scenes (the shipped sample corpus peaks at a
+#: few hundred PNet candidates).  The NMS fixpoints and top-k sweeps cost
+#: O(budget²)/O(budget·log) regardless of the live count, so sweeping 512/128
+#: instead of 2048/512 cuts the cascade's fixed overhead; pass as
+#: ``fast_budgets=`` and the cascade falls back to the full budgets whenever
+#: the saturation flag trips — keep-set-identical by construction when
+#: unsaturated (sat=False ⇒ no cap truncated ⇒ both tiers equal the
+#: reference's unbounded lists).  out_k matches DeviceBudgets so the two
+#: tiers return same-shape blocks.
+FAST_BUDGETS = DeviceBudgets(pnet_cand_k=2048, merge_k=512, rnet_k=512,
+                             onet_k=128, out_k=256)
+
+
 @dataclasses.dataclass(frozen=True)
 class PyramidPlan:
     """Static per-(h,w) pyramid layout + PNet cell→box constants."""
@@ -398,9 +411,19 @@ class MTCNNDeviceCascade:
     def __init__(self, pnet_vars, rnet_vars, onet_vars,
                  cfg: MTCNNConfig = MTCNN, budgets: DeviceBudgets = DeviceBudgets(),
                  precision: str = "highest", crop_impl: str | None = None,
-                 pnet_impl: str | None = None):
+                 pnet_impl: str | None = None,
+                 fast_budgets: DeviceBudgets | None = None):
         self.cfg = cfg
         self.budgets = budgets
+        # Two-tier budgets: when fast_budgets is set, detect_* runs the fast
+        # tier first and falls back to the full `budgets` only when the fast
+        # run's saturation flag trips.  sat=False means no cap truncated a
+        # candidate list, so both tiers equal the reference's unbounded
+        # cascade — the fallback changes results ONLY where the fast tier
+        # would have deviated (tests/test_mtcnn_device.py pins equality on
+        # both polarities).  Typical scenes then pay the small fixed sweeps
+        # (FAST_BUDGETS) instead of the worst-case ones.
+        self.fast_budgets = fast_budgets
         self.precision = precision
         # matmul crops / space-to-depth PNet ride the MXU; gathers and direct
         # small-channel convs win on CPU backends.  A pinned default device
@@ -427,7 +450,7 @@ class MTCNNDeviceCascade:
 
     # ----- cascade body (traced once per plan) --------------------------------
     def _cascade(self, plan: PyramidPlan, variables, image, extent=None,
-                 stage: str = "onet"):
+                 stage: str = "onet", budgets: DeviceBudgets | None = None):
         """extent: optional traced pair ([2] native (h, w), [L, 2] native
         pyramid-level (lh, lw)) of the TRUE image inside a padded canvas
         (bucketed mode).  Crop taps and box clamps then honor the native
@@ -435,7 +458,8 @@ class MTCNNDeviceCascade:
         atlas level is zeroed past its native extent, so one compiled
         cascade serves every native size.  None (native/batch paths): the
         array dims ARE the image."""
-        cfg, bud = self.cfg, self.budgets
+        cfg = self.cfg
+        bud = self.budgets if budgets is None else budgets
         h, w = plan.h, plan.w
         if extent is None:
             eh, ew = float(h), float(w)
@@ -567,17 +591,20 @@ class MTCNNDeviceCascade:
 
     # ----- host API ------------------------------------------------------------
     def _compiled(self, h: int, w: int, stage: str = "onet",
-                  max_levels: int | None = None, with_extent: bool = False):
-        key = (h, w, stage, max_levels, with_extent)
+                  max_levels: int | None = None, with_extent: bool = False,
+                  tier: str = "full"):
+        key = (h, w, stage, max_levels, with_extent, tier)
         if key not in self._jitted:
             plan = build_plan(h, w, self.cfg.min_face_size,
                               self.cfg.scale_factor, self.cfg.cell_size,
                               self.cfg.stride, max_levels)
+            budgets = self.fast_budgets if tier == "fast" else None
             if with_extent:  # bucketed: (variables, image, extent pytree)
-                fn = functools.partial(self._cascade, plan, stage=stage)
+                fn = functools.partial(self._cascade, plan, stage=stage,
+                                       budgets=budgets)
             else:            # native: extent pinned to the array dims
                 fn = functools.partial(self._cascade, plan, extent=None,
-                                       stage=stage)
+                                       stage=stage, budgets=budgets)
             self._jitted[key] = jax.jit(fn)
             if len(self._jitted) > self._jitted_max:
                 self._jitted.popitem(last=False)
@@ -594,6 +621,16 @@ class MTCNNDeviceCascade:
         self.last_saturated = bool(sat)
         return np.asarray(boxes)[: int(count)]
 
+    def _run_tiered(self, make_fn, *args):
+        """Fast-tier run with full-tier fallback on saturation (no-op when
+        fast_budgets is unset).  make_fn(tier) → the jitted cascade; the
+        result's [3] element is the saturation flag (scalar or [B])."""
+        if self.fast_budgets is not None:
+            out = make_fn("fast")(self.vars, *args)
+            if not bool(np.asarray(out[3]).any()):
+                return out
+        return make_fn("full")(self.vars, *args)
+
     def detect_face(self, img: np.ndarray):
         """Full cascade → (boxes [N,5], landmarks [N,10]); same contract as the
         host-path MTCNNDetector.detect_face (detect.py:585-620).
@@ -601,10 +638,12 @@ class MTCNNDeviceCascade:
         After each call, `self.last_saturated` reports whether any fixed
         candidate budget MAY have truncated candidates on this image (the
         reference carries unbounded lists, detect.py:352) — crowded scenes
-        should warn or fall back to the host oracle."""
+        should warn or fall back to the host oracle.  With `fast_budgets`
+        set, a fast-tier saturation silently falls back to the full budgets
+        first; the flag then reports the FULL tier's verdict."""
         h, w = img.shape[:2]
-        fn = self._compiled(h, w)
-        boxes, lm, count, sat = fn(self.vars, jnp.asarray(img))
+        boxes, lm, count, sat = self._run_tiered(
+            lambda tier: self._compiled(h, w, tier=tier), jnp.asarray(img))
         self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
@@ -664,34 +703,44 @@ class MTCNNDeviceCascade:
                                self.cfg.scale_factor)[:n_lv]
         level_hw = np.array([(lh, lw) for lh, lw, _ in ladder], np.float32)
         extent = (jnp.asarray([h, w], jnp.float32), jnp.asarray(level_hw))
-        boxes, lm, count, sat = self._compiled(ch, cw, max_levels=n_lv,
-                                               with_extent=True)(
-            self.vars, jnp.asarray(canvas), extent)
+        boxes, lm, count, sat = self._run_tiered(
+            lambda tier: self._compiled(ch, cw, max_levels=n_lv,
+                                        with_extent=True, tier=tier),
+            jnp.asarray(canvas), extent)
         self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
             return np.array([]), np.array([])
         return np.asarray(boxes)[:n], np.asarray(lm)[:n]
 
-    def detect_batch(self, imgs: np.ndarray):
-        """Batched same-size cascade (vmapped whole pipeline) →
-        (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B],
-        saturated [B] bool)."""
-        b, h, w = imgs.shape[:3]
-        key = ("batch", b, h, w)
+    def _compiled_batch(self, b: int, h: int, w: int, tier: str = "full"):
+        key = ("batch", b, h, w, tier)
         if key not in self._jitted:
             # positional max_levels=None keeps the lru_cache key identical to
             # _compiled's plan for the same shape (6-arg and 7-arg calls key
             # differently and would build duplicate plans)
             plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
                               self.cfg.cell_size, self.cfg.stride, None)
-            fn = functools.partial(self._cascade, plan)
+            budgets = self.fast_budgets if tier == "fast" else None
+            fn = functools.partial(self._cascade, plan, budgets=budgets)
             self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
             if len(self._jitted) > self._jitted_max:
                 self._jitted.popitem(last=False)
         else:
             self._jitted.move_to_end(key)
-        boxes, lm, counts, sat = self._jitted[key](self.vars, jnp.asarray(imgs))
+        return self._jitted[key]
+
+    def detect_batch(self, imgs: np.ndarray):
+        """Batched same-size cascade (vmapped whole pipeline) →
+        (boxes [B,out_k,5], landmarks [B,out_k,10], counts [B],
+        saturated [B] bool).
+
+        With `fast_budgets`, a single saturated image falls the WHOLE batch
+        back to the full budgets (unsaturated images are tier-invariant, so
+        the rerun changes nothing for them)."""
+        b, h, w = imgs.shape[:3]
+        boxes, lm, counts, sat = self._run_tiered(
+            lambda tier: self._compiled_batch(b, h, w, tier), jnp.asarray(imgs))
         self.last_saturated = bool(np.asarray(sat).any())
         return np.asarray(boxes), np.asarray(lm), np.asarray(counts), np.asarray(sat)
 

@@ -59,7 +59,13 @@ class FusedVideoTracker(DeviceIoUTracker):
                  det_cap: int | None = None, threshold: float | None = None,
                  nms_thresh: float | None = None, t_max: int = 256):
         self.detector = detector
-        self.det_cap = int(det_cap or detector.detect_cfg.top_k)
+        top_k = detector.detect_cfg.top_k
+        self.det_cap = top_k if det_cap is None else int(det_cap)
+        if not 0 < self.det_cap <= top_k:
+            # a cap past top_k would only fail at trace time with an opaque
+            # broadcast error inside the fused post graph
+            raise ValueError(f"det_cap must be in (0, {top_k}] "
+                             f"(detector top_k); got {det_cap}")
         self.conf_thresh = (detector.detect_cfg.conf_thresh
                             if threshold is None else threshold)
         self.nms_thresh = (detector.detect_cfg.nms_thresh
@@ -70,12 +76,18 @@ class FusedVideoTracker(DeviceIoUTracker):
             # only, so refuse the configuration instead of silently diverging
             raise ValueError("FusedVideoTracker requires score_floor > 0")
         super().__init__(cfg, t_max=t_max, pad_n=self.det_cap)
-        self._fused: dict = {}
+        # bounded LRU like PyramidBoxDetector._jitted: a native-resolution
+        # frame sweep would otherwise retain one compiled post executable per
+        # distinct (width, height) for the tracker's lifetime
+        from collections import OrderedDict
+        self._fused: "OrderedDict" = OrderedDict()
+        self._fused_max = 16
 
     def _fn(self, width: int, height: int):
         key = (width, height)
         fn = self._fused.get(key)
         if fn is not None:
+            self._fused.move_to_end(key)
             return fn
         scale = jnp.asarray([width, height, width, height], jnp.float32)
         cap, floor, cfg = self.det_cap, self.cfg.score_floor, self.cfg
@@ -102,6 +114,8 @@ class FusedVideoTracker(DeviceIoUTracker):
             return slots, recs, rows, valid.sum(axis=1)
 
         self._fused[key] = post
+        if len(self._fused) > self._fused_max:
+            self._fused.popitem(last=False)
         return post
 
     def step_frames(self, frames_u8: np.ndarray) -> None:
@@ -138,7 +152,6 @@ def track_video_fused(video_path: str, detector, cfg: TrackerConfig = TRACKER,
 
     tracker = FusedVideoTracker(detector, cfg, det_cap=det_cap)
     cap = cv2.VideoCapture(video_path)
-    w, h = frame_size
     batch: List[np.ndarray] = []
 
     def run_batch():
