@@ -10,10 +10,20 @@ bounds each process's lifetime with zero training-semantics change: orbax
 restores the full TrainState (params, optimizer momentum, step), so a chained
 run produces the same iterate sequence as a single process.
 
-Example (ResNet50 teacher on the mini dataset, 1500 iters in 3 processes):
+--journal <name> replays a schedule from the reference's handwritten
+experiment journal (draw_curve/log:1-24) as one command: each journal phase
+(lr / momentum / batch_size over an iteration range) becomes a chained
+process with those flags — exactly how the reference author ran them (the
+journal phases are restart boundaries there too).  --journal-scale shrinks
+every phase boundary for smoke runs.
+
+Examples:
+  # ResNet50 teacher on the mini dataset, 1500 iters in 3 processes:
   python scripts/train_chained.py --net repo --chunk 500 --iter 1500 \
       --batch_size 8 --lr 2e-5 --momentum 0.6 \
       --annoPath data/mini/gen_anno_file_mini_train --save_folder weights_of_mine/
+  # the journal's full try3 recipe (lr 1e-4 -> 2e-5, batch 16 -> 14 @ 18k):
+  python scripts/train_chained.py --net try3 --journal try3
 """
 import argparse
 import os
@@ -21,6 +31,34 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+# draw_curve/log:1-24, one dict per journal phase ("end" = last iteration of
+# the phase; lr/momentum/batch_size = the flags logged for it).
+JOURNAL = {
+    # repo ResNet50 (log:20-23): momentum 0.3 -> 0.9 -> 0.6 across restarts
+    "repo": [dict(end=9000, lr=1e-4, momentum=0.3, batch_size=7),
+             dict(end=15000, lr=2e-5, momentum=0.9, batch_size=7),
+             dict(end=120000, lr=2e-5, momentum=0.6, batch_size=7)],
+    # try3 (log:13-15): lr drop + batch 16 -> 14 at 18k
+    "try3": [dict(end=18000, lr=1e-4, momentum=0.3, batch_size=16),
+             dict(end=24000, lr=2e-5, momentum=0.3, batch_size=14)],
+    # try1 final finetune (log:8-9)
+    "try1": [dict(end=24000, lr=1e-4, momentum=0.3, batch_size=8),
+             dict(end=36000, lr=2e-5, momentum=0.6, batch_size=8)],
+}
+
+
+def journal_phases(name: str, scale: float, total_cap: int | None):
+    """Journal phases with boundaries scaled (smoke runs) and optionally
+    capped; phases starting past the cap drop out."""
+    phases = []
+    for p in JOURNAL[name]:
+        p = dict(p, end=max(1, int(round(p["end"] * scale))))
+        if total_cap is not None:
+            p["end"] = min(p["end"], total_cap)
+        if not phases or p["end"] > phases[-1]["end"]:
+            phases.append(p)
+    return phases
 
 
 def main():
@@ -32,30 +70,53 @@ def main():
     ap.add_argument("--start_iter", default=0, type=int)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--save_folder", default="weights_of_mine/")
+    ap.add_argument("--journal", default=None, choices=sorted(JOURNAL),
+                    help="replay this journal schedule (draw_curve/log); "
+                         "per-phase lr/momentum/batch_size override the "
+                         "plain flags, --iter caps the total")
+    ap.add_argument("--journal-scale", default=1.0, type=float,
+                    help="scale journal phase boundaries (smoke runs)")
     args, passthrough = ap.parse_known_args()
 
     name = f"{args.net}_pyramid"
+    if args.journal:
+        phases = journal_phases(args.journal, args.journal_scale,
+                                args.iter if args.iter else None)
+    else:
+        phases = [dict(end=args.iter)]
+
     start = args.start_iter
     resume = args.resume
-    while start < args.iter:
-        end = min(start + args.chunk, args.iter)
-        cmd = [sys.executable, os.path.join(HERE, "train_pyramid.py"),
-               "--net", args.net, "--iter", str(end),
-               "--start_iter", str(start),
-               # run_pyramid_training saves on absolute iteration %
-               # save_point AND unconditionally at total_iters (driver.py),
-               # so {save_folder}/{name}_{end} exists for every chunk even
-               # when end is not a multiple of (end - start)
-               "--save_point", str(end - start),
-               "--save_folder", args.save_folder] + passthrough
-        if resume:
-            cmd += ["--resume", resume]
-        print(f"# chunk {start}..{end}: {' '.join(cmd)}", flush=True)
-        rc = subprocess.call(cmd)
-        if rc != 0:
-            sys.exit(rc)
-        resume = os.path.join(args.save_folder, f"{name}_{end}")
-        start = end
+    for phase in phases:
+        if start >= phase["end"]:
+            continue  # resumed past this phase
+        phase_flags = []
+        for k in ("lr", "momentum", "batch_size"):
+            if k in phase:
+                phase_flags += [f"--{k}", str(phase[k])]
+        if args.journal:
+            print(f"# journal {args.journal} phase to {phase['end']}: "
+                  f"{' '.join(phase_flags)}", flush=True)
+        while start < phase["end"]:
+            end = min(start + args.chunk, phase["end"])
+            cmd = [sys.executable, os.path.join(HERE, "train_pyramid.py"),
+                   "--net", args.net, "--iter", str(end),
+                   "--start_iter", str(start),
+                   # run_pyramid_training saves on absolute iteration %
+                   # save_point AND unconditionally at total_iters (driver.py),
+                   # so {save_folder}/{name}_{end} exists for every chunk even
+                   # when end is not a multiple of (end - start)
+                   "--save_point", str(end - start),
+                   "--save_folder", args.save_folder] \
+                + phase_flags + passthrough
+            if resume:
+                cmd += ["--resume", resume]
+            print(f"# chunk {start}..{end}: {' '.join(cmd)}", flush=True)
+            rc = subprocess.call(cmd)
+            if rc != 0:
+                sys.exit(rc)
+            resume = os.path.join(args.save_folder, f"{name}_{end}")
+            start = end
     print(f"# chained training done: {resume}")
 
 

@@ -70,10 +70,37 @@ def main():
     ap.add_argument("--max_gt", default=None, type=int,
                     help="GT pad bucket (required for --num_processes>1: "
                          "per-process pads must agree)")
+    ap.add_argument("--journal", default=None,
+                    help="replay a journal schedule from draw_curve/log "
+                         "(repo | try3 | try1): re-execs through "
+                         "scripts/train_chained.py, which runs each phase's "
+                         "lr/momentum/batch_size as a chained process — the "
+                         "reference's own restart protocol")
     ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
     ap.add_argument("--evalAnnoPath", default="./image_and_anno/anno/gen_anno_file_val")
     ap.add_argument("--save_folder", default="weights_of_mine/")
     args = ap.parse_args()
+
+    if args.journal:
+        # one-command journal repro (VERDICT r3 item 8): the journal's
+        # momentum/lr/batch changes are restart boundaries in the reference
+        # too, so the chained runner is the faithful mechanism
+        import subprocess
+        cmd = [_sys.executable,
+               _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "train_chained.py"),
+               "--net", args.net, "--journal", args.journal,
+               "--iter", str(args.iter), "--start_iter", str(args.start_iter),
+               "--save_folder", args.save_folder,
+               "--annoPath", args.annoPath]
+        if args.resume:
+            cmd += ["--resume", args.resume]
+        # NOT --save_point: the chained runner derives it per chunk (the
+        # resume contract names checkpoints by chunk end)
+        cmd += ["--input_size", str(args.input_size)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        raise SystemExit(subprocess.call(cmd))
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
