@@ -52,12 +52,25 @@ import time
 
 import numpy as np
 
-# NOTE: no persistent compilation cache.  The env-var config
-# (JAX_COMPILATION_CACHE_DIR) never took effect in this environment — jax is
-# pre-imported at interpreter start, so env vars set by this script are never
-# read — and enabling it via jax.config.update is hazardous for CPU-backend
-# executables (XLA:CPU AOT reload trips a CPU-feature mismatch that can hang).
-# TPU compiles here are ~20-40s each and run once per bench invocation.
+# The driver captures stdout through a pipe: without line buffering, progress
+# lines — and, if the capture kills us, the final JSON itself — can be lost in
+# the stdio buffer.  Flush every line so a cut capture still shows how far the
+# run got.
+try:
+    sys.stdout.reconfigure(line_buffering=True)
+    sys.stderr.reconfigure(line_buffering=True)
+except (AttributeError, ValueError):  # non-reconfigurable stream
+    pass
+
+# Persistent compilation cache (fdt.utils.cache): enabled for the TPU
+# backend only — XLA:CPU AOT reload trips a CPU-feature mismatch on this host
+# that can hang, so --platform cpu runs never touch it.  TPU compiles here
+# are minutes each through the remote compile path (the 640² flagship detect
+# graph alone measured ~11 min cold on a slow-tunnel day, which blew the
+# round-3/round-4-trial capture windows); a warm cache turns every compile
+# into an executable reload and the whole default bench into pure
+# measurement.  A cold cache (fresh clone) still lands: the deadline guard
+# reports whatever finished.
 
 CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
 SAMPLE_IMG = "/root/reference/image_and_anno/test_image/try1/try1_thresh_0.39_13.jpg"
@@ -704,6 +717,8 @@ def _probe_device(timeout=300):
     covers the plugin's legitimate >60s init idle on a healthy tunnel."""
     import subprocess
     prog = ("import jax, jax.numpy as jnp\n"
+            "from fdt.utils.cache import enable_tpu_compile_cache\n"
+            "enable_tpu_compile_cache()\n"
             "x = jnp.ones((128, 128))\n"
             "print(jax.devices()[0].platform, float((x @ x).sum()))\n")
     try:
@@ -717,11 +732,12 @@ def _probe_device(timeout=300):
     return None
 
 
-# Configs the bare `python bench.py` invocation runs — sized to land well
-# inside the driver's capture window (~6 TPU compiles + timing ≈ 6-9 min;
-# the deadline guard bounds the worst case).  Everything else is opt-in.
-DEFAULT_CONFIGS = ["flagship", "facebox", "mtcnn", "try3", "try3_trained",
-                   "tracker"]
+# Configs the bare `python bench.py` invocation runs — ordered so that a
+# deadline cut on a cold compilation cache still lands the headline numbers
+# first (flagship → mtcnn → tracker are the BASELINE.md value claims); with
+# a warm cache all six finish in a few minutes.  Everything else is opt-in.
+DEFAULT_CONFIGS = ["flagship", "mtcnn", "tracker", "facebox", "try3",
+                   "try3_trained"]
 OPTIN_CONFIGS = ["flagship_int8", "flagship128", "try1", "variants",
                  "tracker_host", "tracker_device", "train", "train_bf16",
                  "train_remat", "dp_scaling"]
@@ -854,6 +870,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
         args.no_probe = True
+    else:
+        # warm executables for every TPU graph this run compiles; no-op on
+        # non-TPU backends (the XLA:CPU reload hazard — fdt.utils.cache)
+        from fdt.utils.cache import enable_tpu_compile_cache
+        enable_tpu_compile_cache()
 
     if not args.no_probe:
         err = _probe_device()

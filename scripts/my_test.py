@@ -36,6 +36,10 @@ def main():
                          "with scripts/merge_eval.py")
     ap.add_argument("--process_count", default=None, type=int)
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     det = load_pyramidbox_detector(args.net, args.weights)
     dump = eval_pyramidbox(det, args.anno, args.threshold,

@@ -25,6 +25,10 @@ def main():
                          "scripts/merge_eval.py")
     ap.add_argument("--process_count", default=None, type=int)
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     cfg = dataclasses.replace(MTCNN, min_face_size=args.min_face)
     det = load_mtcnn_detector(args.pnet, args.rnet, args.onet, cfg)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     from bench import _sample_frame
     from fdt.anchors import pyramid_face_priors

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--hw", default="480x640")
     ap.add_argument("--precisions", default="highest,default")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     h, w = (int(v) for v in args.hw.split("x"))
 
     from bench import _sample_frame, MTCNN_P

@@ -16,6 +16,10 @@ import argparse
 
 
 def build_service(args):
+    # cold-start latency: warm-cached executables cut the first request's
+    # multi-minute compile to an executable reload (TPU backend only)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     from fdt.apps.serving import DetectionService
     kw = dict(threshold=args.threshold, max_batch=args.max_batch,
               max_wait_ms=args.max_wait_ms,

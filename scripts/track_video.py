@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--device_tracker", action="store_true",
                     help="run the greedy association on device (lax.scan)")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     det = load_pyramidbox_detector(args.net, args.weights)
     tracks = track_video(args.video, det, batch_size=args.batch,

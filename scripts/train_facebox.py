@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
     ap.add_argument("--save_folder", default="weights_of_mine/")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     trainer = FaceBoxTrainer(momentum=args.momentum,
                              weight_decay=args.weight_decay)

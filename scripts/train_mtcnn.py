@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--store", default="model_store/")
     ap.add_argument("--no-flip", action="store_true")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
 
     imdb = parse_mtcnn_imdb(args.anno, args.prefix)
     if not args.no_flip:

@@ -104,6 +104,11 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # warm-start the multi-minute 640² fwd+bwd compile across chained
+    # restarts (scripts/train_chained.py runs one process per chunk; without
+    # the cache every chunk re-pays the full compile); TPU backend only
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     mesh = None
     if args.num_processes > 1:
         from fdt.dist import multihost

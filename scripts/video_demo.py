@@ -23,6 +23,10 @@ def main():
                     help="MTCNN only: use the host-loop cascade instead of "
                          "the single-jit device cascade")
     args = ap.parse_args()
+    # persistent XLA cache for the TPU backend (multi-minute compiles
+    # on this host; no-op on CPU — fdt.utils.cache)
+    from fdt.utils.cache import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     source = int(args.source) if args.source.isdigit() else args.source
     kw = dict(source=source, out_path=args.out, display=args.display,
               max_frames=args.max_frames)

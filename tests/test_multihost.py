@@ -49,6 +49,7 @@ def _run_job_retry(n_procs: int) -> list:
         return _run_job(n_procs)
 
 
+@pytest.mark.slow
 @pytest.mark.watchdog(3000)
 def test_two_process_dp_matches_single_process():
     # watchdog(3000): true worst case is 4 jobs (single + retry, multi +
@@ -68,6 +69,7 @@ _MINI_TRAIN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "mini", "gen_anno_file_mini_train")
 
 
+@pytest.mark.slow
 @pytest.mark.watchdog(2400)
 @pytest.mark.skipif(not os.path.exists(_MINI_TRAIN),
                     reason="mini dataset not generated")
