@@ -50,7 +50,10 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the jax backend (config.update — env vars are "
                          "not read here, jax is pre-imported); cpu makes the "
-                         "run hermetic to a wedged TPU tunnel")
+                         "run hermetic to a wedged TPU tunnel; tpu is the "
+                         "default backend already (the plugin may register "
+                         "under a different platform name, so it is NOT "
+                         "pinned by name — we just leave the default)")
     ap.add_argument("--dp_devices", default=0, type=int,
                     help="data-parallel mesh size (0 = single device); "
                          "batches shard over the mesh `data` axis")
@@ -102,7 +105,10 @@ def main():
             cmd += ["--platform", args.platform]
         raise SystemExit(subprocess.call(cmd))
 
-    if args.platform:
+    if args.platform == "cpu":
+        # only cpu is pinned by name: the TPU plugin on this host registers
+        # as platform 'axon', so jax_platforms="tpu" would fail to init —
+        # the TPU is the default backend whenever the plugin is present
         jax.config.update("jax_platforms", args.platform)
     # warm-start the multi-minute 640² fwd+bwd compile across chained
     # restarts (scripts/train_chained.py runs one process per chunk; without
