@@ -122,6 +122,19 @@ class FaceBoxConfig:
 
 FACEBOX = FaceBoxConfig()
 
+# The reference's alternative `decode_tensor` post-processing
+# (FACEBOX/encoderl.py:327-358) pins the background column to 0.4 before an
+# argmax, which reduces to keeping priors whose face probability is strictly
+# above 0.4 (torch ties break toward background), then NMS at 0.5.  Its
+# "no detections" rescue branch is dead code (`labels.long().sum() is 0` is
+# always False for a tensor), and no reference driver calls decode_tensor
+# (both call sites are commented out — FACEBOX/Video.py:38,
+# FACEBOX/My_test_facebox.py:29).  We expose the behavior as a config: a
+# FaceBoxDetector built with FACEBOX_PINNED produces exactly the rows a
+# decode_tensor caller would get (tests/test_facebox.py pins the subset
+# relation to the default decode_np path).
+FACEBOX_PINNED = FaceBoxConfig(conf_thresh=0.4)
+
 
 # --- MTCNN ---------------------------------------------------------------------------
 

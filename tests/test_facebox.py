@@ -123,3 +123,43 @@ def test_s2d_stem_matches_rdcl(facebox_variables):
     assert int(cs[0]) == int(cd[0])
     np.testing.assert_allclose(ss, sd, atol=1e-4)
     np.testing.assert_allclose(bs, bd, atol=1e-4)
+
+
+def test_pinned_config_matches_decode_tensor_semantics(facebox_variables,
+                                                       reference_root):
+    """FACEBOX_PINNED reproduces the reference's alternative `decode_tensor`
+    post-processing (FACEBOX/encoderl.py:327-358): pinning the background
+    column to 0.4 before argmax keeps exactly the priors whose face
+    probability is strictly above 0.4 (torch ties break toward background;
+    the empty-rescue branch is dead code via `... is 0`), then NMS at 0.5.
+
+    Because greedy NMS visits candidates in descending score and suppression
+    only flows downward, dropping the (0.35, 0.4] tail cannot change which
+    >0.4 boxes survive — so the pinned detector's rows must equal the default
+    decode_np detector's rows filtered at score > 0.4."""
+    import cv2
+    from fdt.config import FACEBOX, FACEBOX_PINNED
+    from fdt.infer.facebox import FaceBoxDetector
+
+    # the argmax-after-pin formulation IS strict thresholding (numpy oracle
+    # of encoderl.py:341-343: conf[:, 0] = 0.4; conf.max(1) → label)
+    rng = np.random.RandomState(0)
+    face_p = rng.rand(4096).astype(np.float32)
+    face_p[rng.rand(4096) < 0.1] = 0.4            # exercise exact ties
+    pinned = np.stack([np.full_like(face_p, 0.4), face_p], 1)
+    labels = pinned.argmax(1)                     # ties → index 0 (background)
+    np.testing.assert_array_equal(labels == 1, face_p > 0.4)
+
+    img_path = next((reference_root / "image_and_anno/test_image/try1").glob("*.jpg"))
+    im = cv2.resize(cv2.imread(str(img_path)), (1024, 1024))
+
+    det = FaceBoxDetector(facebox_variables, cfg=FACEBOX)
+    det_pin = FaceBoxDetector(facebox_variables, cfg=FACEBOX_PINNED)
+    (boxes, scores), = det.detect_batch(im[None])
+    (boxes_p, scores_p), = det_pin.detect_batch(im[None])
+
+    keep = np.asarray(scores) > 0.4
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores)[keep],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(boxes_p), np.asarray(boxes)[keep],
+                               atol=1e-6)
