@@ -35,6 +35,9 @@ class TrainConfig:
     start_iter: int = 0
     name: str = "Res50_pyramid"
     save_folder: str = "weights_of_mine/"
+    stall_timeout: float = 0.0   # >0: hard-exit STALL_EXIT_CODE when a step
+                                 # wedges this long (fdt.utils.watchdog);
+                                 # first step (compiles) is exempt
 
 
 def prefetch_batches(dataset, batch_size: int, depth: int = 3):
@@ -128,6 +131,14 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
 
 def _training_loop(trainer, state, batches, cfg, val_dataset, history,
                    eval_losses, log, mesh=None):
+    from fdt.utils.watchdog import StallWatchdog
+    with StallWatchdog(cfg.stall_timeout, name=cfg.name) as watchdog:
+        return _training_loop_inner(trainer, state, batches, cfg, val_dataset,
+                                    history, eval_losses, log, mesh, watchdog)
+
+
+def _training_loop_inner(trainer, state, batches, cfg, val_dataset, history,
+                         eval_losses, log, mesh, watchdog):
     if mesh is not None:
         from fdt.dist import multihost, train_batch_specs
         # (images, gt_boxes, gt_labels, gt_valid): images shard over
@@ -159,9 +170,14 @@ def _training_loop(trainer, state, batches, cfg, val_dataset, history,
         history.append(metrics)
 
         if iteration % 20 == 0:
+            # the float() pulls are the loop's only per-step device syncs
+            # (history.append is deliberately async) — a heartbeat here means
+            # the last ~20 steps actually LANDED, so a wedged execution stops
+            # the beats and the watchdog fires
             log(f"iter {iteration} || loss {float(metrics['loss']):.4f} || "
                 f"loc {float(metrics['face_loc']):.4f} conf {float(metrics['face_conf']):.4f} || "
                 f"lr {lr} || {time.time() - t0:.2f}s")
+            watchdog.beat()
 
         if cfg.eval_freq and (iteration % cfg.eval_freq == 0 or iteration == 1) \
                 and val_dataset is not None:
@@ -175,6 +191,7 @@ def _training_loop(trainer, state, batches, cfg, val_dataset, history,
                 gb, gl, gv = pad_targets(tgt_e, cfg.max_gt)
                 img_e, gb, gl, gv = place((img_e, gb, gl, gv))
                 loss_val += float(trainer.eval_loss(state, img_e, gb, gl, gv))
+                watchdog.beat()
                 if n > cfg.eval_batches:
                     break
             eval_losses.append(loss_val / max(n, 1))

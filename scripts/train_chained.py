@@ -30,6 +30,9 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fdt.utils.watchdog import STALL_EXIT_CODE
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 # draw_curve/log:1-24, one dict per journal phase ("end" = last iteration of
@@ -76,6 +79,12 @@ def main():
                          "plain flags, --iter caps the total")
     ap.add_argument("--journal-scale", default=1.0, type=float,
                     help="scale journal phase boundaries (smoke runs)")
+    ap.add_argument("--stall-retries", default=2, type=int,
+                    help="re-run a chunk this many times when it exits with "
+                         "the stall watchdog's code (86: a wedged tunnel "
+                         "execution, fdt.utils.watchdog) — the retry resumes "
+                         "from the same checkpoint, so at most one chunk of "
+                         "work is redone; other failures still abort")
     args, passthrough = ap.parse_known_args()
 
     name = f"{args.net}_pyramid"
@@ -112,7 +121,16 @@ def main():
             if resume:
                 cmd += ["--resume", resume]
             print(f"# chunk {start}..{end}: {' '.join(cmd)}", flush=True)
-            rc = subprocess.call(cmd)
+            retries = args.stall_retries
+            while True:
+                rc = subprocess.call(cmd)
+                if rc == STALL_EXIT_CODE and retries > 0:
+                    retries -= 1
+                    print(f"# chunk {start}..{end} stalled (exit {rc}); "
+                          f"retrying from {resume or 'scratch'} "
+                          f"({retries} retries left)", flush=True)
+                    continue
+                break
             if rc != 0:
                 sys.exit(rc)
             resume = os.path.join(args.save_folder, f"{name}_{end}")

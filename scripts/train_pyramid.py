@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--start_iter", default=0, type=int)
     ap.add_argument("--resume", default=None, help=".pth or orbax checkpoint")
     ap.add_argument("--eval_freq", default=0, type=int)
+    ap.add_argument("--stall_timeout", default=0, type=float,
+                    help="seconds without synced step progress before the "
+                         "process hard-exits 86 (a lost tunnel execution "
+                         "blocks forever otherwise); 0 disables; the first "
+                         "step (compiles) is exempt.  train_chained.py "
+                         "retries an exit-86 chunk from its checkpoint")
     ap.add_argument("--train_pretrain", default=0, type=int,
                     help="freeze backbone before this iter (mobile nets)")
     ap.add_argument("--input_size", default=640, type=int,
@@ -103,6 +109,8 @@ def main():
         cmd += ["--input_size", str(args.input_size)]
         if args.platform:
             cmd += ["--platform", args.platform]
+        if args.stall_timeout:
+            cmd += ["--stall_timeout", str(args.stall_timeout)]
         raise SystemExit(subprocess.call(cmd))
 
     if args.platform == "cpu":
@@ -155,7 +163,8 @@ def main():
                       total_iters=args.iter, save_point=args.save_point,
                       eval_freq=args.eval_freq, train_pretrain=args.train_pretrain,
                       start_iter=args.start_iter, save_folder=args.save_folder,
-                      max_gt=args.max_gt, name=f"{args.net}_pyramid")
+                      max_gt=args.max_gt, name=f"{args.net}_pyramid",
+                      stall_timeout=args.stall_timeout)
     run_pyramid_training(trainer, state, args.annoPath, cfg,
                          val_anno=args.evalAnnoPath if args.eval_freq else None,
                          mesh=mesh)

@@ -230,7 +230,9 @@ def test_run_pyramid_training_loop(tmp_path):
     state = trainer.init_state(jax.random.PRNGKey(0), abstract=True)
     cfg = TrainConfig(batch_size=2, total_iters=4, save_point=2, max_gt=4,
                       save_folder=str(tmp_path), name="tiny",
-                      eval_freq=2, eval_batches=1)
+                      eval_freq=2, eval_batches=1,
+                      stall_timeout=60.0)   # watchdog-enabled path: starts,
+                                            # beats on eval, closes cleanly
     state = run_pyramid_training(trainer, state, str(anno), cfg,
                                  val_anno=str(anno), log=lambda m: None)
     assert int(state.step) == 4

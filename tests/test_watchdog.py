@@ -1,0 +1,68 @@
+"""StallWatchdog unit tests (fdt/utils/watchdog.py): the hang-recovery
+half of the crash-resume story (MyTrain_repo.py:31-33 has only the crash
+half — a CUDA run never hangs; a tunnel-backed TPU run does)."""
+import threading
+import time
+
+from fdt.utils.watchdog import STALL_EXIT_CODE, StallWatchdog
+
+
+def _recorder():
+    fired = threading.Event()
+    gaps = []
+
+    def on_stall(gap):
+        gaps.append(gap)
+        fired.set()
+
+    return fired, gaps, on_stall
+
+
+def test_disabled_when_limit_nonpositive():
+    wd = StallWatchdog(0, name="off")
+    assert wd._thread is None
+    wd.beat()           # harmless no-ops
+    wd.close()
+
+
+def test_no_fire_before_first_beat():
+    """Pre-first-beat work (XLA compiles) is unbounded and must be exempt."""
+    fired, _, on_stall = _recorder()
+    with StallWatchdog(0.05, on_stall=on_stall, poll_s=0.01):
+        assert not fired.wait(0.3)
+
+
+def test_fires_on_stall_after_first_beat():
+    fired, gaps, on_stall = _recorder()
+    with StallWatchdog(0.05, on_stall=on_stall, poll_s=0.01) as wd:
+        wd.beat()
+        assert fired.wait(2.0)
+    assert gaps and gaps[0] > 0.05
+
+
+def test_beats_keep_it_alive():
+    fired, _, on_stall = _recorder()
+    with StallWatchdog(0.15, on_stall=on_stall, poll_s=0.01) as wd:
+        for _ in range(10):
+            wd.beat()
+            time.sleep(0.03)
+        assert not fired.is_set()
+
+
+def test_close_stops_monitoring():
+    fired, _, on_stall = _recorder()
+    wd = StallWatchdog(0.05, on_stall=on_stall, poll_s=0.01)
+    wd.beat()
+    wd.close()
+    assert not fired.wait(0.3)
+
+
+def test_exit_code_is_the_chained_runner_contract():
+    # scripts/train_chained.py retries a chunk exactly on this code
+    assert STALL_EXIT_CODE == 86
+
+
+def test_train_config_wires_stall_timeout():
+    from fdt.train.driver import TrainConfig
+    assert TrainConfig().stall_timeout == 0.0      # opt-in
+    assert TrainConfig(stall_timeout=300.0).stall_timeout == 300.0
