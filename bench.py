@@ -17,11 +17,13 @@ number, VERDICT r3 item 1):
   mtcnn     — device-side 3-stage cascade, 640×480 frames (pretrained
               weights), fast-tier budgets with saturation fallback
   try3      — PyramidBox-Mobile 640² detect
+  try1      — PyramidBox-Mobile try1 640² detect (BASELINE.md config 4
+              names try1 AND try3)
   try3_trained — try3 with mini-set trained weights (when the npz exists)
   tracker   — fused detect+associate pipeline (fdt.track.fused), trained
               weights when available — the shipping tracking path
 
-Opt-in configs (--configs): flagship_int8, flagship128, try1, variants
+Opt-in configs (--configs): flagship_int8, flagship128, variants
 (try1/2/4/5 smoke), tracker_host, tracker_device, train, train_bf16,
 train_remat, dp_scaling.
 
@@ -737,8 +739,8 @@ def _probe_device(timeout=300):
 # first (flagship → mtcnn → tracker are the BASELINE.md value claims); with
 # a warm cache all six finish in a few minutes.  Everything else is opt-in.
 DEFAULT_CONFIGS = ["flagship", "mtcnn", "tracker", "facebox", "try3",
-                   "try3_trained"]
-OPTIN_CONFIGS = ["flagship_int8", "flagship128", "try1", "variants",
+                   "try1", "try3_trained"]
+OPTIN_CONFIGS = ["flagship_int8", "flagship128", "variants",
                  "tracker_host", "tracker_device", "train", "train_bf16",
                  "train_remat", "dp_scaling"]
 

@@ -64,6 +64,26 @@ def journal_phases(name: str, scale: float, total_cap: int | None):
     return phases
 
 
+def run_chunk(cmd, stall_retries: int, label: str = "", resume=None,
+              call=subprocess.call) -> int:
+    """Run one chunk process; re-run it on the stall watchdog's exit code.
+
+    A stalled chunk made no checkpoint past `resume`, so the retry command is
+    IDENTICAL — it resumes from the same checkpoint and redoes at most one
+    chunk of work.  Any other nonzero exit propagates (a real failure must
+    abort the chain, not loop)."""
+    retries = stall_retries
+    while True:
+        rc = call(cmd)
+        if rc == STALL_EXIT_CODE and retries > 0:
+            retries -= 1
+            print(f"# chunk {label} stalled (exit {rc}); retrying from "
+                  f"{resume or 'scratch'} ({retries} retries left)",
+                  flush=True)
+            continue
+        return rc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", default=500, type=int,
@@ -121,16 +141,8 @@ def main():
             if resume:
                 cmd += ["--resume", resume]
             print(f"# chunk {start}..{end}: {' '.join(cmd)}", flush=True)
-            retries = args.stall_retries
-            while True:
-                rc = subprocess.call(cmd)
-                if rc == STALL_EXIT_CODE and retries > 0:
-                    retries -= 1
-                    print(f"# chunk {start}..{end} stalled (exit {rc}); "
-                          f"retrying from {resume or 'scratch'} "
-                          f"({retries} retries left)", flush=True)
-                    continue
-                break
+            rc = run_chunk(cmd, args.stall_retries,
+                           label=f"{start}..{end}", resume=resume)
             if rc != 0:
                 sys.exit(rc)
             resume = os.path.join(args.save_folder, f"{name}_{end}")

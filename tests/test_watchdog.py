@@ -66,3 +66,34 @@ def test_train_config_wires_stall_timeout():
     from fdt.train.driver import TrainConfig
     assert TrainConfig().stall_timeout == 0.0      # opt-in
     assert TrainConfig(stall_timeout=300.0).stall_timeout == 300.0
+
+
+def test_chained_runner_retries_only_on_stall_code():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "train_chained", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "train_chained.py"))
+    tc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tc)
+
+    calls = []
+
+    def fake_call(rcs):
+        seq = iter(rcs)
+        return lambda cmd: (calls.append(list(cmd)), next(seq))[1]
+
+    # stall twice, then succeed — three invocations of the SAME command
+    calls.clear()
+    rc = tc.run_chunk(["prog"], stall_retries=2, call=fake_call([86, 86, 0]))
+    assert rc == 0 and len(calls) == 3 and all(c == ["prog"] for c in calls)
+
+    # retries exhausted: the stall code propagates
+    calls.clear()
+    rc = tc.run_chunk(["prog"], stall_retries=1, call=fake_call([86, 86]))
+    assert rc == 86 and len(calls) == 2
+
+    # a real failure aborts immediately, no retry
+    calls.clear()
+    rc = tc.run_chunk(["prog"], stall_retries=2, call=fake_call([1]))
+    assert rc == 1 and len(calls) == 1
