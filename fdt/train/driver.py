@@ -38,6 +38,9 @@ class TrainConfig:
     stall_timeout: float = 0.0   # >0: hard-exit STALL_EXIT_CODE when a step
                                  # wedges this long (fdt.utils.watchdog);
                                  # first step (compiles) is exempt
+    startup_timeout: float = 0.0  # >0: same, for a wedge BEFORE the first
+                                  # synced step (backend init / restore /
+                                  # compiles) — budget several × stall_timeout
 
 
 def prefetch_batches(dataset, batch_size: int, depth: int = 3):
@@ -132,7 +135,8 @@ def run_pyramid_training(trainer: PyramidTrainer, state, train_anno: str,
 def _training_loop(trainer, state, batches, cfg, val_dataset, history,
                    eval_losses, log, mesh=None):
     from fdt.utils.watchdog import StallWatchdog
-    with StallWatchdog(cfg.stall_timeout, name=cfg.name) as watchdog:
+    with StallWatchdog(cfg.stall_timeout, name=cfg.name,
+                       startup_limit_s=cfg.startup_timeout) as watchdog:
         return _training_loop_inner(trainer, state, batches, cfg, val_dataset,
                                     history, eval_losses, log, mesh, watchdog)
 

@@ -37,16 +37,27 @@ class StallWatchdog:
     limit.  Every later gap > ``limit_s`` triggers ``on_stall`` (default:
     diagnostic line on stderr, then ``os._exit(STALL_EXIT_CODE)``).
 
+    The first-beat exemption leaves one wedge uncovered: a hang BEFORE any
+    beat (observed: a chunk process wedged in tunnel-backend init — the
+    client connection threads never even spawned).  ``startup_limit_s``
+    bounds that window separately: no first beat within it since
+    construction → fire.  It must budget for everything one-off (imports,
+    checkpoint restore + upload, cold compiles), so it is typically several
+    times ``limit_s``; 0/None disables it (the default).
+
     ``limit_s <= 0`` disables the watchdog entirely (no thread started), so
     callers can wire it unconditionally and gate via config.
     """
 
     def __init__(self, limit_s: float, on_stall=None, name: str = "",
-                 poll_s: float | None = None):
+                 poll_s: float | None = None,
+                 startup_limit_s: float | None = None):
         self.limit_s = float(limit_s)
+        self.startup_limit_s = float(startup_limit_s or 0)
         self.name = name
         self._on_stall = on_stall or self._default_on_stall
         self._last: float | None = None     # None until the first beat
+        self._born = time.monotonic()
         self._closed = threading.Event()
         self._thread = None
         if self.limit_s > 0:
@@ -76,7 +87,11 @@ class StallWatchdog:
         while not self._closed.wait(self._poll):
             last = self._last
             if last is None:
-                continue                     # still in pre-first-beat grace
+                if (self.startup_limit_s > 0 and
+                        time.monotonic() - self._born > self.startup_limit_s):
+                    self._on_stall(time.monotonic() - self._born)
+                    return
+                continue                     # pre-first-beat grace
             gap = time.monotonic() - last
             if gap > self.limit_s:
                 self._on_stall(gap)

@@ -37,6 +37,11 @@ def main():
                          "blocks forever otherwise); 0 disables; the first "
                          "step (compiles) is exempt.  train_chained.py "
                          "retries an exit-86 chunk from its checkpoint")
+    ap.add_argument("--startup_timeout", default=0, type=float,
+                    help="like --stall_timeout but for a wedge BEFORE the "
+                         "first synced step (backend init / checkpoint "
+                         "restore / compiles) — budget several times "
+                         "--stall_timeout; 0 disables")
     ap.add_argument("--train_pretrain", default=0, type=int,
                     help="freeze backbone before this iter (mobile nets)")
     ap.add_argument("--input_size", default=640, type=int,
@@ -111,6 +116,8 @@ def main():
             cmd += ["--platform", args.platform]
         if args.stall_timeout:
             cmd += ["--stall_timeout", str(args.stall_timeout)]
+        if args.startup_timeout:
+            cmd += ["--startup_timeout", str(args.startup_timeout)]
         raise SystemExit(subprocess.call(cmd))
 
     if args.platform == "cpu":
@@ -164,7 +171,8 @@ def main():
                       eval_freq=args.eval_freq, train_pretrain=args.train_pretrain,
                       start_iter=args.start_iter, save_folder=args.save_folder,
                       max_gt=args.max_gt, name=f"{args.net}_pyramid",
-                      stall_timeout=args.stall_timeout)
+                      stall_timeout=args.stall_timeout,
+                      startup_timeout=args.startup_timeout)
     run_pyramid_training(trainer, state, args.annoPath, cfg,
                          val_anno=args.evalAnnoPath if args.eval_freq else None,
                          mesh=mesh)

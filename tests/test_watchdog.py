@@ -97,3 +97,21 @@ def test_chained_runner_retries_only_on_stall_code():
     calls.clear()
     rc = tc.run_chunk(["prog"], stall_retries=2, call=fake_call([1]))
     assert rc == 1 and len(calls) == 1
+
+
+def test_startup_limit_fires_before_first_beat():
+    """A wedge in backend init / restore never beats — observed live: a
+    chunk process hung before its tunnel connection threads even spawned."""
+    fired, gaps, on_stall = _recorder()
+    with StallWatchdog(10.0, on_stall=on_stall, poll_s=0.01,
+                       startup_limit_s=0.05):
+        assert fired.wait(2.0)
+    assert gaps and gaps[0] > 0.05
+
+
+def test_first_beat_disarms_startup_limit():
+    fired, _, on_stall = _recorder()
+    with StallWatchdog(10.0, on_stall=on_stall, poll_s=0.01,
+                       startup_limit_s=0.05) as wd:
+        wd.beat()
+        assert not fired.wait(0.3)
