@@ -107,11 +107,26 @@ class FusedVideoTracker(DeviceIoUTracker):
             scores = jnp.where(none[:, None] & first, jnp.float32(0.4), scores)
             boxes = jnp.where((none[:, None] & first)[..., None], 0.0, boxes)
             valid = ok | (none[:, None] & first)
-            slots, recs = _associate_chunk(
+            slots, (assign, finish, spawn, overflow) = _associate_chunk(
                 slots, boxes, scores, valid, cfg.sigma_iou, cfg.sigma_dis,
                 cfg.sigma_h, cfg.t_min, cfg.use_iou)
             rows = jnp.concatenate([boxes, scores[..., None]], axis=-1)
-            return slots, recs, rows, valid.sum(axis=1)
+            f = det.shape[0]
+            # ONE packed f32 output → ONE host readback per chunk.  Reading
+            # rows/assign/finish/spawn/count/overflow as six separate
+            # np.asarray calls costs six sequential round trips over the
+            # ~30ms-RTT host↔device tunnel — measured 82 fps vs ~200 fps
+            # packed on the fused bench leg.  f32 holds the integer fields
+            # exactly (det indices < cap, slot ids < t_max, both << 2^24).
+            packed = jnp.concatenate([
+                rows.reshape(f, cap * 5),
+                assign.astype(jnp.float32),
+                finish.astype(jnp.float32),
+                spawn.astype(jnp.float32),
+                valid.sum(axis=1).astype(jnp.float32)[:, None],
+                overflow.astype(jnp.float32)[:, None],
+            ], axis=1)
+            return slots, packed
 
         self._fused[key] = post
         if len(self._fused) > self._fused_max:
@@ -121,27 +136,34 @@ class FusedVideoTracker(DeviceIoUTracker):
     def step_frames(self, frames_u8: np.ndarray) -> None:
         """Advance F frames from a [F, H, W, 3] uint8 BGR chunk."""
         f, h, w, _ = frames_u8.shape
-        cfg = self.cfg
+        cfg, cap, t = self.cfg, self.det_cap, self.t_max
         run = self.detector._compiled(w, h, self.conf_thresh, self.nms_thresh)
         det = run(self.detector.variables, frames_u8)   # async, stays on device
-        slots, (assign, finish, spawn, overflow), rows, count = self._fn(w, h)(
-            det, self.slots)
-        while int(np.asarray(overflow).sum()):
-            # slots exhausted mid-chunk: grow and redo the association only —
-            # the detection rows are already on device, no re-detect
+        slots, packed = self._fn(w, h)(det, self.slots)
+        packed = np.asarray(packed)                     # the ONE blocking readback
+        rows = packed[:, :cap * 5].reshape(f, cap, 5)
+        assign = packed[:, cap * 5:cap * 5 + t].astype(np.int32)
+        finish = packed[:, cap * 5 + t:cap * 5 + 2 * t] > 0.5
+        spawn = packed[:, cap * 5 + 2 * t:cap * 5 + 2 * t + cap].astype(np.int32)
+        count = packed[:, -2].astype(np.int32)
+        overflow = packed[:, -1]
+        while overflow.sum():
+            # slots exhausted mid-chunk (rare): grow and redo the association
+            # only, from the rows just read back — no re-detect
             self.t_max *= 2
             self.slots = self._grow(self.slots, self.t_max)
             self._hist = self._hist + [None] * (self.t_max - len(self._hist))
-            valid = jnp.arange(rows.shape[1]) < count[:, None]
+            valid = np.arange(cap) < count[:, None]
             slots, (assign, finish, spawn, overflow) = _associate_chunk(
-                self.slots, rows[..., :4], rows[..., 4], valid,
+                self.slots, jnp.asarray(rows[..., :4]),
+                jnp.asarray(rows[..., 4]), jnp.asarray(valid),
                 cfg.sigma_iou, cfg.sigma_dis, cfg.sigma_h, cfg.t_min,
                 cfg.use_iou)
+            assign, finish, spawn, overflow = jax.device_get(
+                (assign, finish, spawn, overflow))
         self.slots = slots
-        rows, count = np.asarray(rows), np.asarray(count)
         rows_list: List[np.ndarray] = [rows[i, :count[i]] for i in range(f)]
-        self._replay(rows_list, np.asarray(assign), np.asarray(finish),
-                     np.asarray(spawn))
+        self._replay(rows_list, assign, finish, spawn)
 
 
 def track_video_fused(video_path: str, detector, cfg: TrackerConfig = TRACKER,

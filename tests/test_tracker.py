@@ -237,6 +237,15 @@ def test_fused_video_tracker_matches_host():
 
     assert got == want                # bit-equal: IDs, histories, scores
 
+    # slot-overflow path: t_max=2 forces the grow-and-redo branch of
+    # step_frames (association re-runs from the already-read-back rows);
+    # results must still be bit-equal to the unbounded host tracker
+    fused_small = FusedVideoTracker(detector, cfg, t_max=2)
+    fused_small.step_frames(frames[:3])
+    fused_small.step_frames(frames[3:])
+    assert fused_small.flush() == want
+    assert fused_small.t_max > 2      # the grow path actually ran
+
     # empty-frame sentinel path: a floor above every score must reproduce the
     # host [[0,0,0,0,0.4]] sentinel rows (My_test.py:61-62) through the
     # fused conversion too
