@@ -75,6 +75,14 @@ class DeviceBudgets:
 FAST_BUDGETS = DeviceBudgets(pnet_cand_k=2048, merge_k=512, rnet_k=512,
                              onet_k=128, out_k=256)
 
+#: Middle tier: holds typical 640×480 VIDEO frames, which overflow FAST —
+#: the bench frame peaks at ~3.0k above-threshold PNet cells and 682
+#: cross-level merge survivors (past FAST's 2048/512, well inside
+#: 4096/1024).  Pass ``fast_budgets=(FAST_BUDGETS, MID_BUDGETS)`` for the
+#: full ladder: fast → mid → full, each keep-set-identical when unsaturated.
+MID_BUDGETS = DeviceBudgets(pnet_cand_k=4096, merge_k=1024, rnet_k=1024,
+                            onet_k=128, out_k=256)
+
 
 @dataclasses.dataclass(frozen=True)
 class PyramidPlan:
@@ -415,15 +423,31 @@ class MTCNNDeviceCascade:
                  fast_budgets: DeviceBudgets | None = None):
         self.cfg = cfg
         self.budgets = budgets
-        # Two-tier budgets: when fast_budgets is set, detect_* runs the fast
-        # tier first and falls back to the full `budgets` only when the fast
-        # run's saturation flag trips.  sat=False means no cap truncated a
-        # candidate list, so both tiers equal the reference's unbounded
-        # cascade — the fallback changes results ONLY where the fast tier
-        # would have deviated (tests/test_mtcnn_device.py pins equality on
-        # both polarities).  Typical scenes then pay the small fixed sweeps
-        # (FAST_BUDGETS) instead of the worst-case ones.
-        self.fast_budgets = fast_budgets
+        # Tiered budgets: when fast_budgets is set (one DeviceBudgets or a
+        # ladder of them, cheapest first), detect_* runs the cheapest tier
+        # first and escalates to the next tier — ultimately the full
+        # `budgets` — only when the run's saturation flag trips.  sat=False
+        # means no cap truncated a candidate list, so every unsaturated tier
+        # equals the reference's unbounded cascade — escalation changes
+        # results ONLY where the cheaper tier would have deviated
+        # (tests/test_mtcnn_device.py pins equality on both polarities).
+        # Typical scenes then pay the small fixed sweeps instead of the
+        # worst-case ones.  Escalation is STICKY per compiled shape: once a
+        # tier saturates for a shape, later calls on that shape start at the
+        # next tier (output-invariant — a tier that would have been
+        # unsaturated returns exactly what the higher tiers return — it only
+        # skips re-running a sweep that keeps overflowing on this stream).
+        if fast_budgets is None:
+            self.tier_budgets: tuple = ()
+        elif isinstance(fast_budgets, DeviceBudgets):
+            self.tier_budgets = (fast_budgets,)
+        else:
+            self.tier_budgets = tuple(fast_budgets)
+        self.fast_budgets = (self.tier_budgets[0] if self.tier_budgets
+                             else None)
+        self.tier_names = tuple("fast" if i == 0 else f"fast{i}"
+                                for i in range(len(self.tier_budgets)))
+        self._start_tier: dict = {}  # shape key → ladder index to start at
         self.precision = precision
         # matmul crops / space-to-depth PNet ride the MXU; gathers and direct
         # small-channel convs win on CPU backends.  A pinned default device
@@ -598,7 +622,7 @@ class MTCNNDeviceCascade:
             plan = build_plan(h, w, self.cfg.min_face_size,
                               self.cfg.scale_factor, self.cfg.cell_size,
                               self.cfg.stride, max_levels)
-            budgets = self.fast_budgets if tier == "fast" else None
+            budgets = self._budgets_for(tier)
             if with_extent:  # bucketed: (variables, image, extent pytree)
                 fn = functools.partial(self._cascade, plan, stage=stage,
                                        budgets=budgets)
@@ -621,14 +645,26 @@ class MTCNNDeviceCascade:
         self.last_saturated = bool(sat)
         return np.asarray(boxes)[: int(count)]
 
-    def _run_tiered(self, make_fn, *args):
-        """Fast-tier run with full-tier fallback on saturation (no-op when
+    def _budgets_for(self, tier: str) -> DeviceBudgets | None:
+        """Budgets for a tier name: 'full' → None (self.budgets), 'fast' →
+        ladder[0], 'fast<i>' → ladder[i]."""
+        if tier == "full":
+            return None
+        return self.tier_budgets[0 if tier == "fast" else int(tier[4:])]
+
+    def _run_tiered(self, make_fn, *args, shape_key=None):
+        """Ladder run with per-tier escalation on saturation (no-op when
         fast_budgets is unset).  make_fn(tier) → the jitted cascade; the
-        result's [3] element is the saturation flag (scalar or [B])."""
-        if self.fast_budgets is not None:
-            out = make_fn("fast")(self.vars, *args)
+        result's [3] element is the saturation flag (scalar or [B]).
+        shape_key: sticky-escalation key — a tier that saturates for this
+        key is skipped on subsequent calls (output-invariant, see __init__)."""
+        start = self._start_tier.get(shape_key, 0)
+        for i in range(start, len(self.tier_names)):
+            out = make_fn(self.tier_names[i])(self.vars, *args)
             if not bool(np.asarray(out[3]).any()):
                 return out
+            if shape_key is not None:
+                self._start_tier[shape_key] = i + 1
         return make_fn("full")(self.vars, *args)
 
     def detect_face(self, img: np.ndarray):
@@ -643,7 +679,8 @@ class MTCNNDeviceCascade:
         first; the flag then reports the FULL tier's verdict."""
         h, w = img.shape[:2]
         boxes, lm, count, sat = self._run_tiered(
-            lambda tier: self._compiled(h, w, tier=tier), jnp.asarray(img))
+            lambda tier: self._compiled(h, w, tier=tier), jnp.asarray(img),
+            shape_key=(h, w))
         self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
@@ -706,7 +743,7 @@ class MTCNNDeviceCascade:
         boxes, lm, count, sat = self._run_tiered(
             lambda tier: self._compiled(ch, cw, max_levels=n_lv,
                                         with_extent=True, tier=tier),
-            jnp.asarray(canvas), extent)
+            jnp.asarray(canvas), extent, shape_key=(ch, cw, n_lv))
         self.last_saturated = bool(sat)
         n = int(count)
         if n == 0:
@@ -721,7 +758,7 @@ class MTCNNDeviceCascade:
             # differently and would build duplicate plans)
             plan = build_plan(h, w, self.cfg.min_face_size, self.cfg.scale_factor,
                               self.cfg.cell_size, self.cfg.stride, None)
-            budgets = self.fast_budgets if tier == "fast" else None
+            budgets = self._budgets_for(tier)
             fn = functools.partial(self._cascade, plan, budgets=budgets)
             self._jitted[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
             if len(self._jitted) > self._jitted_max:
@@ -740,7 +777,8 @@ class MTCNNDeviceCascade:
         the rerun changes nothing for them)."""
         b, h, w = imgs.shape[:3]
         boxes, lm, counts, sat = self._run_tiered(
-            lambda tier: self._compiled_batch(b, h, w, tier), jnp.asarray(imgs))
+            lambda tier: self._compiled_batch(b, h, w, tier),
+            jnp.asarray(imgs), shape_key=("batch", b, h, w))
         self.last_saturated = bool(np.asarray(sat).any())
         return np.asarray(boxes), np.asarray(lm), np.asarray(counts), np.asarray(sat)
 

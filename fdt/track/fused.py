@@ -57,7 +57,8 @@ class FusedVideoTracker(DeviceIoUTracker):
 
     def __init__(self, detector, cfg: TrackerConfig = TRACKER,
                  det_cap: int | None = None, threshold: float | None = None,
-                 nms_thresh: float | None = None, t_max: int = 256):
+                 nms_thresh: float | None = None, t_max: int = 256,
+                 lookahead: int = 1):
         self.detector = detector
         top_k = detector.detect_cfg.top_k
         self.det_cap = top_k if det_cap is None else int(det_cap)
@@ -79,9 +80,18 @@ class FusedVideoTracker(DeviceIoUTracker):
         # bounded LRU like PyramidBoxDetector._jitted: a native-resolution
         # frame sweep would otherwise retain one compiled post executable per
         # distinct (width, height) for the tracker's lifetime
-        from collections import OrderedDict
+        from collections import OrderedDict, deque
         self._fused: "OrderedDict" = OrderedDict()
         self._fused_max = 16
+        # Pipelined readback: step_frames dispatches chunk N+1 BEFORE blocking
+        # on chunk N's packed readback — the slot-state dependency chain stays
+        # on device (post(det_{N+1}, slots_N) consumes the async slots output
+        # directly), so the host's readback RTT and replay overlap the
+        # device's detect+associate of the next chunk.  `lookahead` = max
+        # chunks in flight (0 disables pipelining).  Output-invariant:
+        # chunks still replay strictly in order.
+        self.lookahead = int(lookahead)
+        self._pending: "deque" = deque()  # (packed, f, cap, t, pre_slots)
 
     def _fn(self, width: int, height: int):
         key = (width, height)
@@ -134,36 +144,80 @@ class FusedVideoTracker(DeviceIoUTracker):
         return post
 
     def step_frames(self, frames_u8: np.ndarray) -> None:
-        """Advance F frames from a [F, H, W, 3] uint8 BGR chunk."""
+        """Advance F frames from a [F, H, W, 3] uint8 BGR chunk.
+
+        Asynchronous up to `lookahead` chunks: the replay of the last chunk(s)
+        completes at the next step_frames/flush call.  Do not interleave with
+        the inherited step()/step_chunk() row API — those consume self.slots
+        directly and would reorder against in-flight chunks."""
         f, h, w, _ = frames_u8.shape
-        cfg, cap, t = self.cfg, self.det_cap, self.t_max
         run = self.detector._compiled(w, h, self.conf_thresh, self.nms_thresh)
         det = run(self.detector.variables, frames_u8)   # async, stays on device
-        slots, packed = self._fn(w, h)(det, self.slots)
-        packed = np.asarray(packed)                     # the ONE blocking readback
+        pre_slots = self.slots
+        self.slots, packed = self._fn(w, h)(det, pre_slots)
+        self._pending.append((packed, f, self.det_cap, self.t_max, pre_slots))
+        while len(self._pending) > self.lookahead:
+            self._drain_one()
+
+    @staticmethod
+    def _parse(packed: np.ndarray, f: int, cap: int, t: int):
         rows = packed[:, :cap * 5].reshape(f, cap, 5)
         assign = packed[:, cap * 5:cap * 5 + t].astype(np.int32)
         finish = packed[:, cap * 5 + t:cap * 5 + 2 * t] > 0.5
-        spawn = packed[:, cap * 5 + 2 * t:cap * 5 + 2 * t + cap].astype(np.int32)
+        spawn = packed[:, cap * 5 + 2 * t:
+                       cap * 5 + 2 * t + cap].astype(np.int32)
         count = packed[:, -2].astype(np.int32)
         overflow = packed[:, -1]
-        while overflow.sum():
-            # slots exhausted mid-chunk (rare): grow and redo the association
-            # only, from the rows just read back — no re-detect
-            self.t_max *= 2
-            self.slots = self._grow(self.slots, self.t_max)
-            self._hist = self._hist + [None] * (self.t_max - len(self._hist))
-            valid = np.arange(cap) < count[:, None]
-            slots, (assign, finish, spawn, overflow) = _associate_chunk(
-                self.slots, jnp.asarray(rows[..., :4]),
-                jnp.asarray(rows[..., 4]), jnp.asarray(valid),
-                cfg.sigma_iou, cfg.sigma_dis, cfg.sigma_h, cfg.t_min,
-                cfg.use_iou)
-            assign, finish, spawn, overflow = jax.device_get(
-                (assign, finish, spawn, overflow))
-        self.slots = slots
+        return rows, assign, finish, spawn, count, overflow
+
+    def _drain_one(self) -> None:
+        packed, f, cap, t, pre_slots = self._pending.popleft()
+        packed = np.asarray(packed)                    # the ONE blocking readback
+        rows, assign, finish, spawn, count, overflow = self._parse(
+            packed, f, cap, t)
+        if overflow.sum():
+            # slots exhausted mid-chunk (rare): every chunk dispatched after
+            # this one ran its association against overflowed slot state —
+            # recompute them all, in order, from their already-available rows
+            # (no re-detect), then restart the pipeline
+            self._redo_overflow(pre_slots, [(rows, count, f, cap)])
+            return
         rows_list: List[np.ndarray] = [rows[i, :count[i]] for i in range(f)]
         self._replay(rows_list, assign, finish, spawn)
+
+    def _redo_overflow(self, pre_slots, chunks) -> None:
+        cfg = self.cfg
+        for packed, f, cap, t, _ in self._pending:   # rows are slot-invariant
+            p = np.asarray(packed)
+            chunks.append((p[:, :cap * 5].reshape(f, cap, 5),
+                           p[:, -2].astype(np.int32), f, cap))
+        self._pending.clear()
+        slots = pre_slots
+        for rows, count, f, cap in chunks:
+            while True:
+                if slots.alive.shape[0] < self.t_max:
+                    slots = self._grow(slots, self.t_max)
+                    self._hist += [None] * (self.t_max - len(self._hist))
+                valid = np.arange(cap) < count[:, None]
+                new_slots, (assign, finish, spawn, overflow) = _associate_chunk(
+                    slots, jnp.asarray(rows[..., :4]),
+                    jnp.asarray(rows[..., 4]), jnp.asarray(valid),
+                    cfg.sigma_iou, cfg.sigma_dis, cfg.sigma_h, cfg.t_min,
+                    cfg.use_iou)
+                assign, finish, spawn, overflow = jax.device_get(
+                    (assign, finish, spawn, overflow))
+                if not overflow.sum():
+                    break
+                self.t_max *= 2
+            slots = new_slots
+            self._replay([rows[i, :count[i]] for i in range(f)],
+                         assign, finish, spawn)
+        self.slots = slots
+
+    def flush(self) -> List[dict]:
+        while self._pending:                          # drain the pipeline
+            self._drain_one()
+        return super().flush()
 
 
 def track_video_fused(video_path: str, detector, cfg: TrackerConfig = TRACKER,

@@ -44,7 +44,8 @@ def build_service(args):
         return DetectionService("facebox", det, **kw)
     if args.quant:
         raise SystemExit("--quant is not supported for the mtcnn cascade")
-    from fdt.infer.mtcnn_device import load_device_cascade
+    from fdt.infer.mtcnn_device import (FAST_BUDGETS, MID_BUDGETS,
+                                        load_device_cascade)
     if args.weights:  # comma-separated pnet,rnet,onet checkpoint paths
         paths = args.weights.split(",")
         if len(paths) != 3:
@@ -53,7 +54,10 @@ def build_service(args):
     else:
         base = "/root/reference/MTCNN/original_model"
         paths = [f"{base}/{n}_epoch.pt" for n in ("pnet", "rnet", "onet")]
-    det = load_device_cascade(*paths)
+    # budget ladder: typical scenes sweep the small tiers, crowded frames
+    # escalate (sticky) — keep-set-identical either way
+    det = load_device_cascade(*paths,
+                              fast_budgets=(FAST_BUDGETS, MID_BUDGETS))
     return DetectionService("mtcnn", det, **kw)
 
 

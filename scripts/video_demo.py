@@ -47,8 +47,12 @@ def main():
             det = load_mtcnn_detector(*paths)
         else:
             # fixed frame size → one compile; the whole cascade stays on device
-            from fdt.infer.mtcnn_device import load_device_cascade
-            det = load_device_cascade(*paths)
+            from fdt.infer.mtcnn_device import (FAST_BUDGETS, MID_BUDGETS,
+                                                load_device_cascade)
+            # budget ladder: typical scenes sweep the small tiers, crowded
+            # frames escalate (sticky) — keep-set-identical either way
+            det = load_device_cascade(
+                *paths, fast_budgets=(FAST_BUDGETS, MID_BUDGETS))
         fps = mtcnn_demo(det, **kw)
     print(f"average fps: {fps:.2f}")
 

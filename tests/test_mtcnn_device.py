@@ -161,6 +161,37 @@ def test_budget_saturation_flag(host_detector, device_detector, test_image):
         np.testing.assert_allclose(dump_fb, dump_host)
 
 
+def test_tier_ladder_escalates_and_sticks(host_detector, device_detector,
+                                          test_image):
+    """A budget ladder must escalate past saturated tiers to the first
+    unsaturated one, return results equal to the full-budget cascade, and
+    remember the escalation per shape (sticky start) so a stream of similar
+    frames never re-runs the overflowing sweep."""
+    from fdt.infer.mtcnn_device import DeviceBudgets
+
+    want, want_lm = device_detector.detect_face(test_image)
+    tiny = DeviceBudgets(pnet_cand_k=64, merge_k=16, rnet_k=16, onet_k=8,
+                         out_k=4)                      # saturates for sure
+    ladder = MTCNNDeviceCascade(
+        host_detector.vars["pnet"], host_detector.vars["rnet"],
+        host_detector.vars["onet"], fast_budgets=(tiny, tiny),
+        crop_impl=device_detector.crop_impl,
+        pnet_impl=device_detector.pnet_impl)
+    assert ladder.tier_names == ("fast", "fast1")
+    boxes, lm = ladder.detect_face(test_image)
+    assert ladder.last_saturated is False              # full tier's verdict
+    np.testing.assert_allclose(boxes, want, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(lm, want_lm, rtol=1e-5, atol=1e-4)
+    h, w = test_image.shape[:2]
+    assert ladder._start_tier[(h, w)] == 2             # both tiers skipped now
+    calls = []
+    orig = ladder._compiled
+    ladder._compiled = lambda *a, **k: calls.append(k.get("tier")) or orig(*a, **k)
+    boxes2, _ = ladder.detect_face(test_image)
+    assert calls == ["full"]                           # sticky: straight to full
+    np.testing.assert_allclose(boxes2, want, rtol=1e-5, atol=1e-4)
+
+
 def test_device_cascade_empty_image(device_detector):
     """No faces → empty outputs, no crash (reference early-outs, detect.py:601)."""
     blank = np.zeros((240, 320, 3), np.uint8)
