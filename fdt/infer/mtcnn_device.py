@@ -447,7 +447,15 @@ class MTCNNDeviceCascade:
                              else None)
         self.tier_names = tuple("fast" if i == 0 else f"fast{i}"
                                 for i in range(len(self.tier_budgets)))
-        self._start_tier: dict = {}  # shape key → ladder index to start at
+        # shape key → ladder index to start at.  LRU-bounded like _jitted
+        # below (one cache-bounding policy): a native-resolution eval sweep
+        # adds one entry per distinct image shape, and although each is a
+        # tiny tuple, unbounded retention is inconsistent with the detector's
+        # stated bounded-cache policy.  Eviction only forgets stickiness —
+        # the evicted shape re-runs its fast tier once (output-invariant).
+        from collections import OrderedDict
+        self._start_tier: "OrderedDict" = OrderedDict()
+        self._start_tier_max = 256
         self.precision = precision
         # matmul crops / space-to-depth PNet ride the MXU; gathers and direct
         # small-channel convs win on CPU backends.  A pinned default device
@@ -659,12 +667,17 @@ class MTCNNDeviceCascade:
         shape_key: sticky-escalation key — a tier that saturates for this
         key is skipped on subsequent calls (output-invariant, see __init__)."""
         start = self._start_tier.get(shape_key, 0)
+        if shape_key in self._start_tier:
+            self._start_tier.move_to_end(shape_key)
         for i in range(start, len(self.tier_names)):
             out = make_fn(self.tier_names[i])(self.vars, *args)
             if not bool(np.asarray(out[3]).any()):
                 return out
             if shape_key is not None:
                 self._start_tier[shape_key] = i + 1
+                self._start_tier.move_to_end(shape_key)
+                if len(self._start_tier) > self._start_tier_max:
+                    self._start_tier.popitem(last=False)
         return make_fn("full")(self.vars, *args)
 
     def detect_face(self, img: np.ndarray):

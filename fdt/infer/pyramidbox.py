@@ -21,6 +21,38 @@ from fdt.config import (DetectConfig, PIXEL_MEAN_BGR, PYRAMID_CONFIGS,
 from fdt.infer.detect import ssd_detect
 
 
+def _stem_s2d(variables, x, precision, dtype=None):
+    """PyramidBox ResNet50 stem with a space-to-depth strided conv (same
+    params as the model's conv1/bn1 — pyramid.py:110-112 here,
+    reference pyramid.py:107-110).
+
+    conv1 (7×7/2, 3→64 over 640²) runs at ~1% MXU utilization as a direct
+    conv (3 input channels pad to 128 lanes); packing the stride's 2×2
+    spatial phases into channels turns it into a 4×4 VALID conv with a
+    K=4·4·12=192 contraction at 1/4 the spatial extent — the same exact
+    rearrangement already carrying the FaceBoxes RDCL and MTCNN PNet stems
+    (fdt.ops.s2d; parity bounded by tests/test_pyramidbox.py).
+    """
+    from fdt.models.common import max_pool
+    from fdt.ops.s2d import (conv_valid_batched, pad_cells, space_to_depth,
+                             strided_s2d_kernel)
+
+    p, bs = variables["params"], variables["batch_stats"]
+    k = p["conv1"]["kernel"]                         # [7, 7, 3, 64], no bias
+    g, b = p["bn1"]["scale"], p["bn1"]["bias"]
+    mu, var = bs["bn1"]["mean"], bs["bn1"]["var"]
+    if dtype is not None:  # mirror the model's bf16 compute flow
+        x, k, g, b, mu, var = (t.astype(dtype) for t in (x, k, g, b, mu, var))
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = (h + 6 - 7) // 2 + 1, (w + 6 - 7) // 2 + 1
+    y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))  # conv1's own padding
+    y = space_to_depth(pad_cells(y, 2), 2)
+    y = conv_valid_batched(y, strided_s2d_kernel(k, 2),
+                           precision)[:, :oh, :ow]
+    y = g * (y - mu) * jax.lax.rsqrt(var + 1e-5) + b  # inference BN, eps 1e-5
+    return max_pool(jnp.maximum(y, 0.0), 3, 2, 1)
+
+
 def detections_to_rows(det: np.ndarray, threshold: float, scale,
                        shrink: float = 1.0) -> np.ndarray:
     """Walk a [C, top_k, 5] detection tensor like My_test.py:47-72.
@@ -49,11 +81,23 @@ class PyramidBoxDetector:
     def __init__(self, variables, model, cfg: PyramidConfig | str = "repo",
                  detect_cfg: DetectConfig | None = None,
                  precision: str = "highest", budget: int = 5000,
-                 quant: str | None = None, mesh=None):
+                 quant: str | None = None, mesh=None,
+                 stem_impl: str | None = None):
         if isinstance(cfg, str):
             cfg = PYRAMID_CONFIGS[cfg]
         self.cfg = cfg
         self.model = model
+        # space-to-depth 7×7/2 stem rides the MXU; the direct conv wins on
+        # CPU.  Only the ResNet50 flagship has this stem (the mobile variants
+        # start 3×3) — same auto rule as FaceBoxDetector.
+        from fdt.models.pyramidbox import PyramidBox
+        if stem_impl is None:
+            from fdt.utils.devices import default_platform
+            stem_impl = ("s2d" if default_platform() == "tpu"
+                         and type(model) is PyramidBox else "direct")
+        if stem_impl == "s2d" and type(model) is not PyramidBox:
+            raise ValueError("stem_impl='s2d' requires the ResNet50 flagship")
+        self.stem_impl = stem_impl
         # mesh: optional jax.sharding.Mesh for data-parallel batched
         # inference — params replicate, detect_tensor batches shard over the
         # `data` axis (padded to a mesh multiple) and XLA runs the whole
@@ -112,7 +156,14 @@ class PyramidBoxDetector:
             x = images_u8.astype(jnp.float32) - self._mean
             with jax.default_matmul_precision(self.precision), \
                  quantized(self.quant):
-                out = self.model.apply(variables, x)
+                if self.stem_impl == "s2d":
+                    # precompute the stem via the exact s2d packing (stays
+                    # float under int8 quant — bandwidth-, not MXU-bound)
+                    c1 = _stem_s2d(variables, x, self.precision,
+                                   self.model.dtype)
+                    out = self.model.apply(variables, x, c1=c1)
+                else:
+                    out = self.model.apply(variables, x)
             assert out["source_shapes"] == tuple(shapes), (
                 f"traced source shapes {out['source_shapes']} != predicted {shapes}")
             conf = jax.nn.softmax(out["face_conf"], axis=-1)

@@ -101,15 +101,23 @@ class PyramidBox(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, c1=None):
         d = self.dtype
         r = self.remat
         if d is not None:
             x = x.astype(d)
-        # --- backbone (pyramid.py:229-236)
-        c1 = nn.relu(batch_norm(name="bn1", train=train, dtype=d)(
-            conv(64, 7, 2, 3, use_bias=False, name="conv1", dtype=d)(x)))
-        c1 = max_pool(c1, 3, 2, 1)
+        # --- backbone (pyramid.py:229-236).  `c1` lets a caller substitute a
+        # precomputed stem output (same params, rearranged compute): the TPU
+        # inference path replaces the 7×7/2 direct conv — ~1% MXU utilization
+        # at 3 input channels — with an exact space-to-depth packing
+        # (fdt.infer.pyramidbox._stem_s2d) and resumes here at layer1.
+        # conv1/bn1 params are registered either way (init never passes c1).
+        if c1 is None:
+            c1 = nn.relu(batch_norm(name="bn1", train=train, dtype=d)(
+                conv(64, 7, 2, 3, use_bias=False, name="conv1", dtype=d)(x)))
+            c1 = max_pool(c1, 3, 2, 1)
+        elif d is not None:
+            c1 = c1.astype(d)
         c2 = ResNetStage(self.num_blocks[0], 64, 1, name="layer1", dtype=d, remat=r)(c1, train)
         c3 = ResNetStage(self.num_blocks[1], 128, 2, name="layer2", dtype=d, remat=r)(c2, train)
         c4 = ResNetStage(self.num_blocks[2], 256, 2, name="layer3", dtype=d, remat=r)(c3, train)

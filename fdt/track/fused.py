@@ -53,6 +53,13 @@ class FusedVideoTracker(DeviceIoUTracker):
         Defaults to the detector's top_k (= truly unbounded parity).
       threshold / nms_thresh: detect-graph conf/NMS thresholds; default to
         the detector's DetectConfig like `detect_tensor` does.
+      lookahead: max chunks in flight (default 1 = pipelined).  NOTE the
+        behavioral consequence: with lookahead > 0, host-visible tracker
+        state (`finished`, `frame_num`, track histories) LAGS the last
+        step_frames call by up to `lookahead` chunks, and association errors
+        surface one call later — callers that poll state between chunks
+        (e.g. a live overlay) should pass lookahead=0 (synchronous) or call
+        flush() first.
     """
 
     def __init__(self, detector, cfg: TrackerConfig = TRACKER,
@@ -193,7 +200,14 @@ class FusedVideoTracker(DeviceIoUTracker):
                            p[:, -2].astype(np.int32), f, cap))
         self._pending.clear()
         slots = pre_slots
-        for rows, count, f, cap in chunks:
+        for k, (rows, count, f, cap) in enumerate(chunks):
+            if k == 0:
+                # this chunk DID overflow at the current capacity — re-running
+                # it unchanged deterministically overflows again and wastes a
+                # device dispatch + readback; grow first.  Later pending
+                # chunks keep try-first (their status at the grown size is
+                # unknown).
+                self.t_max = max(self.t_max, slots.alive.shape[0] * 2)
             while True:
                 if slots.alive.shape[0] < self.t_max:
                     slots = self._grow(slots, self.t_max)

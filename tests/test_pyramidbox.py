@@ -94,3 +94,63 @@ def test_ssd_detect_single_candidate_quirk():
     cfg2 = DetectConfig(conf_thresh=0.5, top_k=4, drop_single_candidate=False)
     out2 = ssd_detect(loc, conf, priors, cfg2)
     assert float(out2[0, 1, 0, 0]) == pytest.approx(0.6, rel=1e-5)
+
+
+def _direct_stem(variables, x, dtype=None):
+    """Independent oracle of the ResNet50 stem: direct 7×7/2 conv + BN +
+    ReLU + maxpool via raw lax ops (not the flax module under test)."""
+    from fdt.models.common import max_pool
+    p, bs = variables["params"], variables["batch_stats"]
+    k = p["conv1"]["kernel"]
+    g, b = p["bn1"]["scale"], p["bn1"]["bias"]
+    mu, var = bs["bn1"]["mean"], bs["bn1"]["var"]
+    if dtype is not None:
+        x, k, g, b, mu, var = (t.astype(dtype) for t in (x, k, g, b, mu, var))
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, k, (2, 2), [(3, 3), (3, 3)],
+                                     dimension_numbers=dn,
+                                     precision=jax.lax.Precision.HIGHEST)
+    y = g * (y - mu) * jax.lax.rsqrt(var + 1e-5) + b
+    return max_pool(jnp.maximum(y, 0.0), 3, 2, 1)
+
+
+@pytest.mark.parametrize("dtype,tol", [(None, 1e-4), (jnp.bfloat16, 0.05)])
+def test_stem_s2d_matches_direct(rng, dtype, tol):
+    """The space-to-depth stem packing is an exact rearrangement: same taps,
+    same products (float-roundoff-level drift only — the s2d contraction
+    sums the taps in a different order, so f32 agrees to ~1e-4 rel, not
+    bit-exactly)."""
+    from fdt.infer.pyramidbox import _stem_s2d
+    model = PyramidBox(dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    # odd-ish size exercises the pad_cells tail-slice path too
+    x = jnp.asarray((rng.rand(2, 126, 130, 3) * 255).astype(np.float32) - 117)
+    got = np.asarray(_stem_s2d(variables, x, "highest", dtype), np.float32)
+    want = np.asarray(_direct_stem(variables, x, dtype), np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_detector_stem_s2d_end_to_end(rng):
+    """detect_tensor with stem_impl='s2d' equals the direct-stem detector."""
+    model = PyramidBox()
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3)))
+    img = (rng.rand(1, 128, 128, 3) * 255).astype(np.uint8)
+    kw = dict(budget=256, precision="highest")
+    d_direct = PyramidBoxDetector(variables, model, "repo",
+                                  stem_impl="direct", **kw)
+    d_s2d = PyramidBoxDetector(variables, model, "repo",
+                               stem_impl="s2d", **kw)
+    a = d_direct.detect_tensor(img, conf_thresh=0.05, nms_thresh=0.35)
+    b = d_s2d.detect_tensor(img, conf_thresh=0.05, nms_thresh=0.35)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_detector_stem_s2d_rejects_mobile_variants():
+    from fdt.models.pyramidbox_mobile import build_pyramidbox
+    model = build_pyramidbox("try3")
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    with pytest.raises(ValueError, match="flagship"):
+        PyramidBoxDetector(variables, model, "try3", stem_impl="s2d")
