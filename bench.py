@@ -23,9 +23,13 @@ number, VERDICT r3 item 1):
   tracker   — fused detect+associate pipeline (fdt.track.fused), trained
               weights when available — the shipping tracking path
 
+  try1_distilled — try1 with the net2net-distilled weights (when the npz
+              exists) — the reference's task #2 outcome artifact
+
 Opt-in configs (--configs): flagship_int8, flagship128, variants
-(try1/2/4/5 smoke), tracker_host, tracker_device, train, train_bf16,
-train_remat, dp_scaling.
+(try1/2/4/5 smoke), serving (micro-batching HTTP server under concurrent
+clients: p50/p99 latency + coalesced throughput), tracker_host,
+tracker_device, train, train_bf16, train_remat, dp_scaling.
 
 A global --deadline-seconds (default 780) bounds the WHOLE run: measurements
 run on a worker thread, and when the deadline hits, whatever has finished is
@@ -86,6 +90,14 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
 HERE = os.path.dirname(os.path.abspath(__file__))
 TRY3_TRAINED = os.path.join(HERE, "net_weight", "try3_mini.npz")
 REPO_TRAINED = os.path.join(HERE, "net_weight", "repo_mini.npz")
+TRY1_DISTILLED = os.path.join(HERE, "net_weight", "try1_distilled_mini.npz")
+# Written after a successful batch-128 flagship measurement on a TPU: its
+# presence proves the 128-batch executable is in the persistent compile cache
+# for this device kind, so the default flagship config can run batch 128
+# (MFU 0.605 vs 0.58 at 64) without risking an ~11-min cold compile inside
+# the driver's capture window.  Gitignored (cache-derived state, like
+# .jax_cache_tpu/): a fresh clone starts at the safe batch 64.
+WARM128 = os.path.join(HERE, ".bench_warm128.json")
 
 
 def _sample_frame(h, w):
@@ -98,6 +110,18 @@ def _sample_frame(h, w):
 
 
 _SPREADS = {}  # config name → percent spread across timing repeats
+
+
+def _mark_warm128():
+    """Record that the batch-128 flagship executable compiled successfully on
+    this TPU (see WARM128); never raises."""
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind
+        if kind in PEAK_FLOPS:
+            json.dump({"device_kind": kind}, open(WARM128, "w"))
+    except Exception:
+        pass
 
 
 def _time_checksum(fn, args, iters, reps=3, record=None):
@@ -176,7 +200,8 @@ def measure_pyramidbox(batch, iters, dtype, budget, variant="repo", size=640,
     return ips, mfu
 
 
-def measure_facebox(batch=16, iters=20):
+def _facebox_detector():
+    """FaceBoxDetector on the pretrained faceboxes.pt (random init fallback)."""
     import jax
     import jax.numpy as jnp
     from fdt.infer.facebox import FaceBoxDetector
@@ -194,7 +219,14 @@ def measure_facebox(batch=16, iters=20):
         variables = jax.tree.map(
             lambda z: np.asarray(jax.random.normal(
                 jax.random.PRNGKey(0), z.shape, z.dtype)) * 0.05, template)
-    det = FaceBoxDetector(variables, precision="default")
+    return FaceBoxDetector(variables, precision="default")
+
+
+def measure_facebox(batch=16, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    det = _facebox_detector()
     s = det.cfg.input_size
     images = np.broadcast_to(_sample_frame(s, s), (batch, s, s, 3)).copy()
 
@@ -483,7 +515,14 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
     detect+associate strictly per frame on GPU.
 
     weights: trained variables npz for the repo variant (real score
-    distribution / scene density); random init otherwise."""
+    distribution / scene density); random init otherwise.
+
+    The scene MOVES: frames pan 6 px/frame over the sample image (the
+    tests/test_trained_weights.py warpAffine pattern), so boxes shift every
+    frame and the greedy association, track spawn/extend/finish, and the
+    churn bookkeeping all do real per-frame work — a broadcast static frame
+    (pre-round-5) re-took the same association path every step and never
+    exercised track churn (VERDICT r4 weak item 4)."""
     import jax
     import jax.numpy as jnp
     from fdt.infer.pyramidbox import PyramidBoxDetector, detections_to_rows
@@ -499,9 +538,17 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3)))
     det = PyramidBoxDetector(variables, model, "repo", budget=5000,
                              precision="default")
+    import cv2
     frame = _sample_frame(480, 640)
+    seq = np.empty((frames, 480, 640, 3), np.uint8)
+    for f in range(frames):
+        M = np.float32([[1, 0, -6 * f], [0, 1, 0]])
+        seq[f] = cv2.warpAffine(frame, M, (640, 480),
+                                borderMode=cv2.BORDER_REFLECT)
     run = det._compiled(640, 480, 0.4, 0.35)
-    staged = jax.device_put(np.broadcast_to(frame, (batch, 480, 640, 3)).copy())
+    chunks = [jax.device_put(seq[c * batch:(c + 1) * batch])
+              for c in range(frames // batch)]
+    staged = chunks[0]
     np.asarray(run(det.variables, staged))  # compile
     if fused:
         from fdt.track.fused import FusedVideoTracker
@@ -518,8 +565,8 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
         t0 = time.perf_counter()
         n = 0
         for _ in range(iters):
-            for _c in range(frames // batch):
-                tracker.step_frames(staged)
+            for chunk in chunks:
+                tracker.step_frames(chunk)
                 n += batch
             tracker.flush()
         return n / (time.perf_counter() - t0)
@@ -531,8 +578,8 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
     n = 0
     for _ in range(iters):
         tracker = make_tracker()
-        for _c in range(frames // batch):
-            out = np.asarray(run(det.variables, staged))
+        for chunk in chunks:
+            out = np.asarray(run(det.variables, chunk))
             # cap rows to a realistic tracking-scene density so the
             # association cost reflects real scenes (untrained weights pass
             # the 0.4 floor en masse).  Measured with TRAINED try3 weights on
@@ -548,6 +595,89 @@ def measure_tracker(iters=3, frames=64, batch=16, device=False, fused=False,
                     tracker.step(rows)
             n += batch
     return n / (time.perf_counter() - t0)
+
+
+def measure_serving(clients=8, per_client=12, max_batch=16, max_wait_ms=8.0):
+    """Opt-in (--configs serving): the micro-batching HTTP server under real
+    concurrency — the measurement fdt/apps/serving.py exists for.
+
+    `clients` threads POST a 640×480 JPEG to /detect concurrently,
+    `per_client` timed requests each (after a warm lap), against the FaceBoxes
+    service (pretrained weights; the cheapest family, so the number isolates
+    the batching layer rather than a giant forward).  Reports request-latency
+    p50/p99, coalesced server throughput, the mean device batch the coalescer
+    achieved, and the DIRECT detect_batch throughput of the same detector on
+    the same host-resident frames (upload included) as the no-server ceiling.
+    Latency includes JPEG decode + host resize on this 1-core host — that is
+    the honest serving cost, not a harness artifact.
+    """
+    import urllib.request
+    from fdt.apps.serving import DetectionService, make_http_server
+
+    import cv2
+    det = _facebox_detector()
+    service = DetectionService("facebox", det, threshold=0.4,
+                               max_batch=max_batch, max_wait_ms=max_wait_ms)
+    server = make_http_server(service)
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        service.warmup()  # compile every pow2 bucket off the clock
+        payload = cv2.imencode(".jpg", _sample_frame(480, 640))[1].tobytes()
+        url = f"http://127.0.0.1:{port}/detect"
+
+        def post():
+            req = urllib.request.Request(url, data=payload, method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        lats, lock = [], threading.Lock()
+        start_gate = threading.Barrier(clients + 1)
+
+        def client():
+            post()                         # per-thread warm lap
+            start_gate.wait()
+            mine = []
+            for _ in range(per_client):
+                t0 = time.perf_counter()
+                post()
+                mine.append(time.perf_counter() - t0)
+            with lock:
+                lats.extend(mine)
+
+        threads = [threading.Thread(target=client) for _ in range(clients)]
+        for t in threads:
+            t.start()
+        start_gate.wait()
+        t0 = time.perf_counter()
+        base = service.batcher.stats()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = service.batcher.stats()
+        served = stats["requests"] - base["requests"]
+        nbatch = stats["batches"] - base["batches"]
+
+        # the no-server ceiling: direct batched detect on host frames
+        s = det.cfg.input_size
+        frames = np.broadcast_to(_sample_frame(s, s), (max_batch, s, s, 3)).copy()
+        det.detect_batch(frames)           # warm
+        t0 = time.perf_counter()
+        direct_iters = 5
+        for _ in range(direct_iters):
+            det.detect_batch(frames)
+        direct_ips = max_batch * direct_iters / (time.perf_counter() - t0)
+        lats_ms = np.sort(np.array(lats)) * 1e3
+        return {"clients": clients, "requests": int(served),
+                "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
+                "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
+                "rps": round(served / wall, 2),
+                "mean_coalesced_batch": round(served / max(nbatch, 1), 2),
+                "direct_ips": round(direct_ips, 2)}
+    finally:
+        server.shutdown()
+        service.close()
 
 
 def measure_variants(batch=8, iters=3):
@@ -743,8 +873,8 @@ def _probe_device(timeout=300):
 # first (flagship → mtcnn → tracker are the BASELINE.md value claims); with
 # a warm cache all six finish in a few minutes.  Everything else is opt-in.
 DEFAULT_CONFIGS = ["flagship", "mtcnn", "tracker", "facebox", "try3",
-                   "try1", "try3_trained"]
-OPTIN_CONFIGS = ["flagship_int8", "flagship128", "variants",
+                   "try1", "try3_trained", "try1_distilled"]
+OPTIN_CONFIGS = ["flagship_int8", "flagship128", "variants", "serving",
                  "tracker_host", "tracker_device", "train", "train_bf16",
                  "train_remat", "dp_scaling"]
 
@@ -768,6 +898,8 @@ def _run_configs(args, want, state):
                                               want_mfu=True, record="flagship",
                                               weights=flagship_weights)
                 state["mfu"] = mfu
+                if args.flagship_batch == 128:
+                    _mark_warm128()
             elif name == "flagship128":
                 # batch-128 flagship (amortizes the decode/NMS tail further:
                 # 407 vs 388 img/s measured on v5e) — opt-in so the default
@@ -777,6 +909,7 @@ def _run_configs(args, want, state):
                                               want_mfu=True, record="flagship128",
                                               weights=flagship_weights)
                 _SPREADS["flagship128_mfu"] = round(mfu, 4) if mfu else None
+                _mark_warm128()
             elif name == "flagship_int8":
                 # opt-in post-training int8 path (fdt.ops.quant): int8×int8→
                 # int32 on the MXU at 2× the bf16 rate; accuracy drift pinned
@@ -802,6 +935,16 @@ def _run_configs(args, want, state):
                                             args.budget, "try3",
                                             record="try3_trained",
                                             weights=TRY3_TRAINED)
+            elif name == "try1_distilled":
+                # try1 with the net2net-distilled artifact (teacher=repo_mini;
+                # the reference's task #2 outcome) — auto-included when the
+                # npz exists, same pattern as try3_trained
+                if not os.path.exists(TRY1_DISTILLED):
+                    continue
+                ips, _ = measure_pyramidbox(args.batch, args.iters, args.dtype,
+                                            args.budget, "try1",
+                                            record="try1_distilled",
+                                            weights=TRY1_DISTILLED)
             elif name == "facebox":
                 ips = measure_facebox()
             elif name == "mtcnn":
@@ -827,6 +970,10 @@ def _run_configs(args, want, state):
                 results[name] = measure_remat()
                 state["secs"][name] = round(time.monotonic() - t_c, 1)
                 continue
+            elif name == "serving":
+                results[name] = measure_serving()
+                state["secs"][name] = round(time.monotonic() - t_c, 1)
+                continue
             elif name == "variants":
                 results[name] = measure_variants()
                 state["secs"][name] = round(time.monotonic() - t_c, 1)
@@ -846,11 +993,12 @@ def main():
     t_start = time.monotonic()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--flagship-batch", type=int, default=64,
-                    help="flagship detect batch.  64 default: best captured-"
-                         "artifact tradeoff (one compile, 388 img/s on v5e); "
-                         "batch 128 measures ~5%% higher but pays a second "
-                         "big compile — run `--configs flagship128` for it")
+    ap.add_argument("--flagship-batch", type=int, default=None,
+                    help="flagship detect batch.  Default: 128 when a prior "
+                         "successful batch-128 run marked the compile cache "
+                         "warm for this device kind (%s), else the safe 64 "
+                         "(one cold compile, 388 img/s on v5e)"
+                         % os.path.basename(WARM128))
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--budget", type=int, default=5000,
@@ -893,6 +1041,16 @@ def main():
                 "error": err}))
             sys.exit(1)
 
+    if args.flagship_batch is None:
+        args.flagship_batch = 64
+        try:  # device kind is known: the probe above succeeded (or was skipped
+            import jax
+            kind = jax.devices()[0].device_kind
+            if json.load(open(WARM128)).get("device_kind") == kind:
+                args.flagship_batch = 128
+        except Exception:
+            pass
+
     if args.configs == "default":
         want = list(DEFAULT_CONFIGS)
     elif args.configs == "all":
@@ -919,11 +1077,11 @@ def main():
 
     flagship = results.get("flagship")
     extras = {}
-    base_of = {"try3_trained": "try3", "tracker_host": "tracker",
-               "tracker_device": "tracker", "flagship_int8": "flagship",
-               "flagship128": "flagship"}
+    base_of = {"try3_trained": "try3", "try1_distilled": "try1",
+               "tracker_host": "tracker", "tracker_device": "tracker",
+               "flagship_int8": "flagship", "flagship128": "flagship"}
     for name in want:
-        if name == "flagship" or (name == "try3_trained"
+        if name == "flagship" or (name in ("try3_trained", "try1_distilled")
                                   and name not in results):
             continue
         if name not in results:
@@ -932,7 +1090,7 @@ def main():
                                         else "deadline")}
             continue
         v = results.get(name)
-        if name in ("dp_scaling", "train_remat", "variants"):
+        if name in ("dp_scaling", "train_remat", "variants", "serving"):
             extras[name] = v  # dict artifact, not a throughput
             continue
         unit = "frames/s" if name.startswith("tracker") else "images/s"
