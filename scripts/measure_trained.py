@@ -31,6 +31,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", default="net_weight/try3_mini.npz")
     ap.add_argument("--net", default="try3")
+    ap.add_argument("--ap-only", action="store_true",
+                    help="mini-val AP only (skips seam/bf16/tracker): the "
+                         "cheap checkpoint-selection metric — one graph "
+                         "compile, 6 val images")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +58,11 @@ def main():
     crowd = cv2.imread("/root/reference/image_and_anno/test_image/try1/"
                        "try1_thresh_0.39_13.jpg")           # 12 GT faces
     img = cv2.resize(crowd, (640, 640))
+
+    if args.ap_only:
+        _measure_ap(det, rows_at, out)
+        print(json.dumps(out, indent=1))
+        return
 
     # -- score distribution ------------------------------------------------
     rows = rows_at(det, img, 0.05)
@@ -122,6 +131,13 @@ def main():
     }
 
     # -- mini-val AP -------------------------------------------------------
+    _measure_ap(det, rows_at, out)
+
+    print(json.dumps(out, indent=1))
+
+
+def _measure_ap(det, rows_at, out):
+    import cv2
     from fdt.data.anno import parse_anno_file
     from fdt.eval.pr import TfConfAccumulator, average_precision
     acc = TfConfAccumulator()
@@ -136,8 +152,6 @@ def main():
         # it too (My_test.py:61-62), and this AP follows that exact protocol
         acc.add(r, gt)
     out["mini_val_ap"] = round(float(average_precision(acc.finalize())), 4)
-
-    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,22 @@ def main():
     ap.add_argument("--lr", default=1e-3, type=float)
     ap.add_argument("--iter", default=500000, type=int)
     ap.add_argument("--save_point", default=2000, type=int)
+    ap.add_argument("--start_iter", default=0, type=int,
+                    help="resume iteration count (pairs with --resume: the "
+                         "same chained-process restart contract as "
+                         "train_pyramid.py — long runs over the tunnel "
+                         "leak host RSS with uploaded bytes, so bound each "
+                         "process's lifetime and chain through checkpoints)")
+    ap.add_argument("--resume", default=None,
+                    help="orbax TrainState dir from a previous save_point")
+    ap.add_argument("--momentum", default=0.5, type=float)
+    ap.add_argument("--stall_timeout", default=0, type=float,
+                    help="seconds without synced step progress before "
+                         "hard-exit 86 (lost tunnel execution; see "
+                         "fdt.utils.watchdog); 0 disables")
+    ap.add_argument("--startup_timeout", default=0, type=float,
+                    help="like --stall_timeout but for a wedge before the "
+                         "first step (init/restore/compile)")
     ap.add_argument("--annoPath", default="./image_and_anno/anno/gen_anno_file_train")
     ap.add_argument("--save_folder", default="weights_of_mine/")
     args = ap.parse_args()
@@ -36,37 +52,49 @@ def main():
 
     teacher = build_pyramidbox("repo")
     student = build_pyramidbox(args.student)
-    trainer = Net2NetTrainer(student, teacher, args.train)
+    trainer = Net2NetTrainer(student, teacher, args.train,
+                             momentum=args.momentum)
     teacher_vars = load_variables(teacher.clone(return_features=True),
                                   args.teacher_weights, 640)
     state = trainer.init_state(jax.random.PRNGKey(0), teacher_vars)
+    if args.resume:
+        from fdt.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(args.resume, state)
 
     dataset = WiderFaceDataset(args.annoPath, size=640)
     # background-thread augmentation like the main training driver — the
     # distill step is device-bound, the aug pipeline is host cv2/numpy work
     from fdt.train.driver import prefetch_batches
+    from fdt.utils.watchdog import StallWatchdog
     batches = prefetch_batches(dataset, args.batch_size)
     loss_save = np.zeros(args.save_point + 1)
     idx = 0
     try:
-        for it in range(1, args.iter + 1):
-            images, _ = next(batches)
-            t0 = time.time()
-            state, metrics = trainer.train_step(state, images, args.lr)
-            loss_save[idx] = float(metrics["loss"])
-            idx += 1
-            if it % 20 == 0:
-                print(f"iter {it} || loss {float(metrics['loss']):.4f} "
-                      f"|| parts {np.asarray(metrics['parts']).round(4)} "
-                      f"|| {time.time() - t0:.2f}s")
-            if it % args.save_point == 0:
-                save_checkpoint(state, args.save_folder, f"{args.train}_net", it)
-                np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy", loss_save)
-                loss_save = np.zeros(args.save_point + 1)
-                idx = 0
+        with StallWatchdog(args.stall_timeout, name=f"n2n_{args.train}",
+                           startup_limit_s=args.startup_timeout) as watchdog:
+            for it in range(args.start_iter + 1, args.iter + 1):
+                images, _ = next(batches)
+                t0 = time.time()
+                state, metrics = trainer.train_step(state, images, args.lr)
+                loss_save[idx] = float(metrics["loss"])  # syncs the step
+                watchdog.beat()
+                idx += 1
+                if it % 20 == 0:
+                    print(f"iter {it} || loss {float(metrics['loss']):.4f} "
+                          f"|| parts {np.asarray(metrics['parts']).round(4)} "
+                          f"|| {time.time() - t0:.2f}s", flush=True)
+                if it % args.save_point == 0:
+                    save_checkpoint(state, args.save_folder,
+                                    f"{args.train}_net", it)
+                    np.save(f"{args.save_folder}/{args.train}_loss_{it}.npy",
+                            loss_save)
+                    loss_save = np.zeros(args.save_point + 1)
+                    idx = 0
     finally:
         batches.close()  # stop the prefetch worker thread
-    save_checkpoint(state, args.save_folder, f"{args.train}_net_final", args.iter)
+    if args.iter % args.save_point != 0:
+        save_checkpoint(state, args.save_folder, f"{args.train}_net_final",
+                        args.iter)
 
 
 if __name__ == "__main__":
