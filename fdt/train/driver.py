@@ -69,7 +69,14 @@ def prefetch_batches(dataset, batch_size: int, depth: int = 3):
     def worker():
         try:
             while not stop.is_set():
-                for item in dataset.batches(batch_size):
+                for images, targets in dataset.batches(batch_size):
+                    # ship the batch half-precision: the host↔device link is
+                    # the train step's bound here (~25 MB/s tunnel; a f32
+                    # 8×640² batch is ~39 MB ≈ 1.6 s/step), and the images
+                    # are integer pixel values ± channel mean, which f16
+                    # carries within 0.125 ulp.  The jitted steps cast back
+                    # to f32 on device (loops.py / net2net.py).
+                    item = (images.astype(np.float16), targets)
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.2)

@@ -198,6 +198,9 @@ class PyramidTrainer:
                 train=True, mutable=["batch_stats"])
 
     def _losses(self, params, batch_stats, images, gt_boxes, gt_labels, gt_valid):
+        # batches arrive f16 from prefetch_batches (transfer format — the
+        # tunnel link is the step bound); all compute runs f32 from here
+        images = images.astype(jnp.float32)
         fwd = jax.checkpoint(self._forward) if self.remat else self._forward
         out, mutated = fwd(params, batch_stats, images)
         # mixed-precision invariant: every model variant casts its head

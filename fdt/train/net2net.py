@@ -60,6 +60,8 @@ class Net2NetTrainer:
                           opt_state=self.tx.init(params))
 
     def _loss(self, params, batch_stats, images):
+        # f16 transfer format from prefetch_batches; compute in f32
+        images = images.astype(jnp.float32)
         with jax.default_matmul_precision(self.precision):
             s_out, mutated = self.student.apply(
                 {"params": params, "batch_stats": batch_stats}, images,

@@ -35,13 +35,20 @@ def main():
                     help="glob of orbax TrainState dirs or variables .npz")
     ap.add_argument("--val", default="data/mini/gen_anno_file_mini_val")
     ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="pin the CPU backend — lets a sweep run while a "
+                         "training job holds the TPU (same contract as "
+                         "train_pyramid.py --platform)")
     args = ap.parse_args()
 
-    from fdt.utils.cache import enable_tpu_compile_cache
-    enable_tpu_compile_cache()
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from fdt.utils.cache import enable_tpu_compile_cache
+        enable_tpu_compile_cache()
 
     import cv2
-    import jax
 
     from fdt.data.anno import parse_anno_file
     from fdt.eval.pr import TfConfAccumulator, average_precision
