@@ -31,12 +31,21 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_stage(name, cmd, timeout):
     t0 = time.monotonic()
+    log_dir = os.path.join(ROOT, ".test_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, name.replace("#", "_") + ".log")
     try:
         r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
                            timeout=timeout)
+        # keep the full pytest output: a one-line "1F" summary with no
+        # surviving traceback is undiagnosable after the fact
+        with open(log_path, "w") as f:
+            f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
         tail = (r.stdout.strip().splitlines() or [""])[-1]
         ok = r.returncode == 0
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        with open(log_path, "w") as f:
+            f.write(str(e.stdout or "") + "\n--- stderr ---\n" + str(e.stderr or ""))
         tail, ok = f"TIMEOUT after {timeout}s", False
     secs = int(time.monotonic() - t0)
     # compress pytest's summary ("219 passed, 51 deselected in 564.03s ...")

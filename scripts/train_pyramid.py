@@ -125,16 +125,20 @@ def main():
         # as platform 'axon', so jax_platforms="tpu" would fail to init —
         # the TPU is the default backend whenever the plugin is present
         jax.config.update("jax_platforms", args.platform)
+    mesh = None
+    if args.num_processes > 1:
+        # MUST run before anything that initializes the XLA backend —
+        # enable_tpu_compile_cache() below calls jax.default_backend(),
+        # which jax.distributed.initialize() forbids happening first
+        # (caught by tests/test_multihost.py::test_two_process_training_cli)
+        from fdt.dist import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
     # warm-start the multi-minute 640² fwd+bwd compile across chained
     # restarts (scripts/train_chained.py runs one process per chunk; without
     # the cache every chunk re-pays the full compile); TPU backend only
     from fdt.utils.cache import enable_tpu_compile_cache
     enable_tpu_compile_cache()
-    mesh = None
-    if args.num_processes > 1:
-        from fdt.dist import multihost
-        multihost.initialize(args.coordinator, args.num_processes,
-                             args.process_id)
     if args.sp_devices > 1:
         if args.num_processes > 1:
             raise SystemExit("--sp_devices requires single-process runs "
